@@ -1,0 +1,25 @@
+"""SVG Transformer model family (flax.linen)."""
+from .config import (
+    ModelConfig,
+    hierarchical,
+    hierarchical_self_matching,
+    one_stage_one_shot,
+    sketchformer,
+    sketchrnn,
+)
+from .loss import svg_loss
+from .model import SVGTransformer
+from .sample import (
+    autoregressive_sample,
+    flatten_groups_np,
+    greedy_sample,
+    one_shot_sample,
+)
+
+__all__ = [
+    "ModelConfig", "SVGTransformer", "svg_loss",
+    "hierarchical", "hierarchical_self_matching", "one_stage_one_shot",
+    "sketchformer", "sketchrnn",
+    "autoregressive_sample", "flatten_groups_np", "greedy_sample",
+    "one_shot_sample",
+]

@@ -1,0 +1,113 @@
+"""Hungarian (self-match) assignment of predicted groups to target groups.
+
+Reference: model/model.py:311-350 ``perfect_matching``. The cost matrix there
+is built with a chain of ``repeat``s and per-sample Python loops; here it is a
+single broadcasted computation ``[N, G, P]`` on device. The assignment itself
+is combinatorial: we solve it with scipy's Jonker-Volgenant solver through
+``jax.pure_callback`` — the same solver the reference uses, but called once per
+step on the whole batch instead of per sample inside the hot loop. (The cost
+matrix stays on device; only the tiny [N, G, P] costs cross to the host.)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..svgtensor import CMD_ARGS_MASK_NP
+from ..svgtensor import masks as M
+from .config import ModelConfig
+
+
+def matching_cost(
+    cmd_logits: jnp.ndarray,       # [N, P, S, n_commands]
+    args_logits: jnp.ndarray,      # [N, P, S, n_args, args_dim]
+    vis_logits: jnp.ndarray,       # [N, P, 2]
+    tgt_commands: jnp.ndarray,     # [N, G, S+1] (with SOS)
+    tgt_args: jnp.ndarray,         # [N, G, S+1, n_args]
+    cfg: ModelConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pairwise (target group g, proposal p) loss matrix.
+
+    cost = 2*args CE + 1*cmd CE + 1*visibility CE (model/model.py:322-335).
+    Returns ``(cost [N, G, P], visibility [N, G])``.
+    """
+    vis = M.visibility_mask(tgt_commands)                       # [N, G]
+    pad = M.padding_mask(tgt_commands, extended=True) * vis[..., None].astype(jnp.float32)
+
+    tgt_c = tgt_commands[..., 1:]                               # [N, G, S]
+    tgt_a = tgt_args[..., 1:, :]
+    pad = pad[..., 1:]
+
+    # broadcast targets over proposals: [N, G, 1, ...] vs logits [N, 1, P, ...]
+    ce_cmd = optax.softmax_cross_entropy_with_integer_labels(
+        cmd_logits[:, None].astype(jnp.float32), tgt_c[:, :, None].astype(jnp.int32)
+    )                                                            # [N, G, P, S]
+    ce_args = optax.softmax_cross_entropy_with_integer_labels(
+        args_logits[:, None].astype(jnp.float32),
+        (tgt_a[:, :, None] + 1).astype(jnp.int32),
+    )                                                            # [N, G, P, S, n_args]
+    ce_vis = optax.softmax_cross_entropy_with_integer_labels(
+        vis_logits[:, None].astype(jnp.float32),
+        jnp.broadcast_to(
+            vis[:, :, None], vis.shape + (vis_logits.shape[1],)
+        ).astype(jnp.int32),
+    )                                                            # [N, G, P]
+
+    args_mask = jnp.asarray(CMD_ARGS_MASK_NP)[tgt_c][:, :, None]  # [N, G, 1, S, n_args]
+    denom_a = jnp.maximum(jnp.sum(args_mask, axis=(-1, -2)), 1.0)
+    loss_args = jnp.sum(ce_args * args_mask, axis=(-1, -2)) / denom_a
+
+    padb = pad[:, :, None]                                       # [N, G, 1, S]
+    denom_c = jnp.maximum(jnp.sum(padb, axis=-1), 1.0)
+    loss_cmd = jnp.sum(ce_cmd * padb, axis=-1) / denom_c
+
+    cost = 2.0 * loss_args + 1.0 * loss_cmd + 1.0 * ce_vis       # [N, G, P]
+    return cost, vis
+
+
+def _assign_host(costs: np.ndarray, vis: np.ndarray) -> np.ndarray:
+    """Batch assignment on host (reference model/model.py:337-348): Hungarian
+    over visible target rows, remaining proposals appended in index order."""
+    from scipy.optimize import linear_sum_assignment
+
+    n, _, p = costs.shape
+    out = np.zeros((n, p), dtype=np.int32)
+    full = set(range(p))
+    for i in range(n):
+        v = vis[i].astype(bool)
+        _, assign = linear_sum_assignment(costs[i][v])
+        assign = assign.tolist()
+        out[i] = np.asarray(assign + sorted(full - set(assign)), dtype=np.int32)
+    return out
+
+
+def perfect_matching(
+    cmd_logits, args_logits, vis_logits, tgt_commands, tgt_args, cfg: ModelConfig
+) -> jnp.ndarray:
+    """Assignment permutation ``[N, P]``: entry i = proposal index matched to
+    the i-th (ordered) target group. No gradients flow through this."""
+    cost, vis = matching_cost(
+        jax.lax.stop_gradient(cmd_logits),
+        jax.lax.stop_gradient(args_logits),
+        jax.lax.stop_gradient(vis_logits),
+        tgt_commands, tgt_args, cfg,
+    )
+    n, _, p = cost.shape
+    return jax.pure_callback(
+        _assign_host,
+        jax.ShapeDtypeStruct((n, p), jnp.int32),
+        cost, vis,
+        vmap_method="sequential",
+    )
+
+
+def apply_assignment(assignment: jnp.ndarray, *logits: jnp.ndarray):
+    """Reorder the proposal axis (axis=1) of each logits tensor by the
+    assignment permutation (model/model.py:390-392)."""
+    out = []
+    for x in logits:
+        idx = assignment.reshape(assignment.shape + (1,) * (x.ndim - 2))
+        out.append(jnp.take_along_axis(x, idx, axis=1))
+    return tuple(out)

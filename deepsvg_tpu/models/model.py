@@ -1,0 +1,421 @@
+"""The SVG Transformer family — hierarchical VAE over SVG command sequences.
+
+Reference architecture: deepsvg/model/model.py (SVGTransformer, 288-479).
+This is a batch-first re-design: the reference's ``[S, G, N]`` seq-first layout
+and ``_pack_group_batch`` permutes (utils/utils.py:20-49) become plain
+``[N, G, S] -> [N*G, S]`` leading-axis reshapes (free for XLA); per-sample
+boolean indexing becomes masked arithmetic; the Hungarian assignment cost
+matrix is computed fully batched on-device (models/matching.py).
+
+Stages:
+  E1 (per-path encoder) -> masked mean pool -> E2 (per-document encoder over
+  path latents, visibility-masked) -> ResNet -> VAE / linear bottleneck ->
+  D2 (learned group queries + latent-injected decoder -> visibility + per-path
+  latents) -> D1 (per-path decoder) -> FCN heads (command + argument logits).
+
+All four reference variants are supported: one/two-stage encode/decode,
+one-shot vs autoregressive prediction, ordered vs Hungarian (self_match)
+assignment, and label conditioning.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..svgtensor import masks as M
+from .config import ModelConfig
+from .embeddings import ConstEmbedding, LabelEmbedding, SVGEmbedding
+from .layers import (
+    DecoderStack,
+    EncoderStack,
+    PositionalEncodingLUT,
+    causal_additive_mask,
+    combine_masks,
+    key_padding_to_additive,
+)
+
+
+def _fold(x: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+    """[N, G, ...] -> [N*G, ...] (the batch-first analog of _pack_group_batch)."""
+    if x is None:
+        return None
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _unfold(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[N*G, ...] -> [N, G, ...]."""
+    return x.reshape((n, -1) + x.shape[1:])
+
+
+class ResNet(nn.Module):
+    """4 residual FC blocks (reference basic_blocks.py:42-65)."""
+
+    d_model: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        for i in range(1, 5):
+            z = z + nn.relu(
+                nn.Dense(self.d_model, dtype=self.dtype, name=f"linear{i}")(z)
+            )
+        return z
+
+
+class VAE(nn.Module):
+    """Gaussian reparametrized bottleneck (model/model.py:167-187)."""
+
+    dim_z: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray, sample: bool = True):
+        init = nn.initializers.normal(stddev=0.001)
+        mu = nn.Dense(self.dim_z, kernel_init=init, dtype=self.dtype, name="enc_mu_fcn")(z)
+        logsigma = nn.Dense(
+            self.dim_z, kernel_init=init, dtype=self.dtype, name="enc_sigma_fcn"
+        )(z)
+        if sample:
+            sigma = jnp.exp(logsigma / 2.0)
+            eps = jax.random.normal(self.make_rng("vae"), sigma.shape, sigma.dtype)
+            z = mu + sigma * eps
+        else:
+            z = mu
+        return z, mu, logsigma
+
+
+class Bottleneck(nn.Module):
+    """Plain linear bottleneck (model/model.py:190-197) — note the flagship
+    ``hierarchical_ordered`` config uses this, not the VAE (use_vae=False)."""
+
+    dim_z: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(self.dim_z, dtype=self.dtype, name="bottleneck")(z)
+
+
+class FCN(nn.Module):
+    """Command + argument classification heads (basic_blocks.py:5-23)."""
+
+    d_model: int
+    n_commands: int
+    n_args: int
+    args_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, out: jnp.ndarray):
+        cmd_logits = nn.Dense(self.n_commands, dtype=self.dtype, name="command_fcn")(out)
+        args_logits = nn.Dense(
+            self.n_args * self.args_dim, dtype=self.dtype, name="args_fcn"
+        )(out)
+        args_logits = args_logits.reshape(out.shape[:-1] + (self.n_args, self.args_dim))
+        return cmd_logits, args_logits
+
+
+class HierarchFCN(nn.Module):
+    """Per-group visibility + latent heads (basic_blocks.py:26-39)."""
+
+    dim_z: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, out: jnp.ndarray):
+        visibility_logits = nn.Dense(2, dtype=self.dtype, name="visibility_fcn")(out)
+        z = nn.Dense(self.dim_z, dtype=self.dtype, name="z_fcn")(out)
+        return visibility_logits, z
+
+
+class LSTMEncoder(nn.Module):
+    """Bidirectional LSTM alternative to E1 (model/model.py:111,138-148):
+    concat of forward/backward hidden (d_model/2 each), read at the last valid
+    timestep."""
+
+    d_model: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src: jnp.ndarray, seq_lens: jnp.ndarray) -> jnp.ndarray:
+        half = self.d_model // 2
+        fwd = nn.RNN(nn.OptimizedLSTMCell(half), name="lstm_fwd")
+        bwd = nn.RNN(nn.OptimizedLSTMCell(half), reverse=True, keep_order=True,
+                     name="lstm_bwd")
+        out = jnp.concatenate(
+            [fwd(src, seq_lengths=seq_lens), bwd(src, seq_lengths=seq_lens)], axis=-1
+        )
+        idx = jnp.clip(seq_lens - 1, 0, None)[:, None, None]
+        return jnp.take_along_axis(out, jnp.broadcast_to(idx, (out.shape[0], 1, out.shape[2])), axis=1)[:, 0]
+
+
+class LSTMDecoder(nn.Module):
+    """LSTM alternative decoder (model/model.py:231-241): initial (h, c) from
+    tanh(fc_hc(z)), teacher-forced scan."""
+
+    d_model: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+        hc = jnp.tanh(nn.Dense(2 * self.d_model, dtype=self.dtype, name="fc_hc")(z))
+        h, c = jnp.split(hc, 2, axis=-1)
+        rnn = nn.RNN(nn.OptimizedLSTMCell(self.d_model), name="lstm")
+        return rnn(src, initial_carry=(c, h))
+
+
+class Encoder(nn.Module):
+    """E1 (+ optional E2) encoder (model/model.py:92-164).
+
+    Input ``commands [N, G, S]``, ``args [N, G, S, n_args]`` (G=1 for one-stage
+    grouped inputs). Returns ``z [N, d_model]``.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, commands, args, label=None, deterministic=True):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        n, g, s = commands.shape
+        use_group = cfg.encode_stages == 1
+
+        label_emb = (
+            LabelEmbedding(cfg, name="label_embedding")(label)
+            if cfg.label_condition else None
+        )
+
+        if cfg.encode_stages == 2:
+            vis = M.visibility_mask(commands)          # [N, G]
+            key_vis = ~vis
+
+        commands_f, args_f = _fold(commands), _fold(args)  # [N*G, S]
+        pad = M.padding_mask(commands_f)                    # [N*G, S] float
+        key_pad = key_padding_to_additive(M.key_padding_mask(commands_f))
+        groups_f = M.group_mask(commands_f) if use_group else None
+
+        seq_len = cfg.max_seq_len if cfg.encode_stages == 2 else cfg.max_total_len
+        src = SVGEmbedding(cfg, seq_len, use_group=use_group, name="embedding")(
+            commands_f, args_f, groups_f, deterministic=deterministic
+        )
+
+        l1 = (
+            jnp.repeat(label_emb, g, axis=0)[:, None, :]
+            if label_emb is not None else None
+        )
+        if cfg.model_type == "transformer":
+            memory = EncoderStack(
+                cfg.n_layers, cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
+                cfg.dropout, cfg.label_condition, dtype, name="encoder",
+            )(src, mask=key_pad, label_emb=l1, deterministic=deterministic)
+            # masked mean pool over valid (pre-EOS) positions
+            z = jnp.sum(memory * pad[..., None], axis=1) / jnp.maximum(
+                jnp.sum(pad, axis=1, keepdims=True), 1.0
+            )  # [N*G, d]
+        else:  # lstm
+            seq_lens = jnp.sum(pad, axis=1).astype(jnp.int32)
+            z = LSTMEncoder(cfg.d_model, dtype, name="encoder")(src, seq_lens)
+
+        z = _unfold(z, n)  # [N, G, d]
+
+        if cfg.encode_stages == 2:
+            src2 = z
+            if not cfg.self_match:
+                src2 = PositionalEncodingLUT(
+                    cfg.max_num_groups, cfg.d_model, cfg.dropout, dtype,
+                    name="hierarchical_PE",
+                )(src2, deterministic=deterministic)
+            l2 = label_emb[:, None, :] if label_emb is not None else None
+            memory2 = EncoderStack(
+                cfg.n_layers, cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
+                cfg.dropout, cfg.label_condition, dtype, name="hierarchical_encoder",
+            )(src2, mask=key_padding_to_additive(key_vis), label_emb=l2,
+              deterministic=deterministic)
+            visf = vis.astype(memory2.dtype)
+            z = jnp.sum(memory2 * visf[..., None], axis=1) / jnp.maximum(
+                jnp.sum(visf, axis=1, keepdims=True), 1.0
+            )  # [N, d]
+        else:
+            z = z[:, 0]  # G == 1
+
+        return z
+
+
+class Decoder(nn.Module):
+    """D2 (+ D1) decoder (model/model.py:200-285).
+
+    ``z [N, dim_z]`` -> logits; for two-stage, also visibility logits.
+    Teacher-forcing inputs ``commands/args [N, G, S_dec]`` are only used in
+    autoregressive mode.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, z, commands=None, args=None, label=None, deterministic=True):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        n = z.shape[0]
+
+        label_emb = (
+            LabelEmbedding(cfg, name="label_embedding")(label)
+            if cfg.label_condition else None
+        )
+        l2 = label_emb[:, None, :] if label_emb is not None else None
+
+        hierarch_logits = None
+        if cfg.decode_stages == 2:
+            src = ConstEmbedding(cfg, cfg.n_groups_prop, name="hierarchical_embedding")(
+                n, deterministic=deterministic
+            )
+            out = DecoderStack(
+                cfg.n_layers_decode, cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
+                cfg.dropout, cfg.label_condition, dtype, name="hierarchical_decoder",
+            )(src, z[:, None, :], label_emb=l2, deterministic=deterministic)
+            hierarch_logits, z_groups = HierarchFCN(
+                cfg.dim_z, dtype, name="hierarchical_fcn"
+            )(out)  # [N, P, 2], [N, P, dim_z]
+            zb = _fold(z_groups)  # [N*P, dim_z]
+            n_groups = cfg.n_groups_prop
+        else:
+            zb = z
+            n_groups = 1
+
+        if label_emb is not None:
+            lb = jnp.repeat(label_emb, n_groups, axis=0)[:, None, :]
+        else:
+            lb = None
+
+        if cfg.pred_mode == "autoregressive":
+            commands_f, args_f = _fold(commands), _fold(args)  # [N*G, S_dec]
+            s_dec = commands_f.shape[1]
+            groups_f = M.group_mask(commands_f)
+            src = SVGEmbedding(
+                cfg, cfg.max_total_len, rel_args=cfg.rel_targets, use_group=True,
+                group_len=cfg.max_total_len, name="embedding",
+            )(commands_f, args_f, groups_f, deterministic=deterministic)
+            mask = combine_masks(
+                causal_additive_mask(s_dec),
+                key_padding_to_additive(M.key_padding_mask(commands_f)),
+            )
+            if cfg.model_type == "transformer":
+                out = DecoderStack(
+                    cfg.n_layers_decode, cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
+                    cfg.dropout, cfg.label_condition, dtype, name="decoder",
+                )(src, zb[:, None, :], mask=mask, label_emb=lb,
+                  deterministic=deterministic)
+            else:  # lstm
+                out = LSTMDecoder(cfg.d_model, dtype, name="decoder")(src, zb)
+        else:  # one_shot
+            seq_len = cfg.max_seq_len + 1 if cfg.decode_stages == 2 else cfg.max_total_len + 1
+            src = ConstEmbedding(cfg, seq_len, name="embedding")(
+                zb.shape[0], deterministic=deterministic
+            )
+            out = DecoderStack(
+                cfg.n_layers_decode, cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
+                cfg.dropout, cfg.label_condition, dtype, name="decoder",
+            )(src, zb[:, None, :], label_emb=lb, deterministic=deterministic)
+
+        cmd_logits, args_logits = FCN(
+            cfg.d_model, cfg.n_commands, cfg.n_args, cfg.args_dim_out, dtype,
+            name="fcn",
+        )(out)
+
+        cmd_logits = _unfold(cmd_logits, n)      # [N, G, S, n_commands]
+        args_logits = _unfold(args_logits, n)    # [N, G, S, n_args, args_dim_out]
+        return cmd_logits, args_logits, hierarch_logits
+
+
+class SVGTransformer(nn.Module):
+    """Top-level model (model/model.py:288-479).
+
+    ``__call__`` is the training/teacher-forcing forward; ``encode`` returns the
+    latent; sampling lives in ``deepsvg_tpu.models.sample``.
+    """
+
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        if cfg.encode_stages > 0:
+            self.encoder = Encoder(cfg)
+            if cfg.use_resnet:
+                self.resnet = ResNet(cfg.d_model, dtype)
+            if cfg.use_vae:
+                self.vae = VAE(cfg.dim_z, dtype)
+            else:
+                self.bottleneck = Bottleneck(cfg.dim_z, dtype)
+        self.decoder = Decoder(cfg)
+
+    def encode(self, commands, args, label=None, deterministic=True, sample_vae=True):
+        """Input -> latent ``z [N, dim_z]`` (+ (mu, logsigma) if VAE)."""
+        cfg = self.cfg
+        z = self.encoder(commands, args, label, deterministic=deterministic)
+        if cfg.use_resnet:
+            z = self.resnet(z)
+        if cfg.use_vae:
+            z, mu, logsigma = self.vae(z, sample=sample_vae)
+            return z, mu, logsigma
+        return self.bottleneck(z), None, None
+
+    def __call__(
+        self,
+        commands_enc=None,
+        args_enc=None,
+        commands_dec=None,
+        args_dec=None,
+        label=None,
+        z=None,
+        return_tgt=True,
+        encode_mode=False,
+        deterministic=True,
+        sample_vae=True,
+    ):
+        cfg = self.cfg
+        mu = logsigma = None
+        if z is None:
+            z, mu, logsigma = self.encode(
+                commands_enc, args_enc, label, deterministic, sample_vae
+            )
+        if encode_mode:
+            return z
+
+        if return_tgt:  # teacher forcing: drop the last target position
+            commands_dec_ = commands_dec[..., :-1]
+            args_dec_ = args_dec[..., :-1, :]
+        else:
+            commands_dec_, args_dec_ = commands_dec, args_dec
+
+        cmd_logits, args_logits, hierarch_logits = self.decoder(
+            z, commands_dec_, args_dec_, label, deterministic=deterministic
+        )
+
+        if return_tgt and cfg.self_match:
+            # Hungarian re-ordering of proposals to targets (model.py:384-394)
+            from .matching import apply_assignment, perfect_matching
+
+            assignment = perfect_matching(
+                cmd_logits, args_logits, hierarch_logits,
+                commands_dec, args_dec, cfg,
+            )
+            cmd_logits, args_logits, hierarch_logits = apply_assignment(
+                assignment, cmd_logits, args_logits, hierarch_logits
+            )
+
+        res = {
+            "command_logits": cmd_logits,
+            "args_logits": args_logits,
+        }
+        if cfg.decode_stages == 2:
+            res["visibility_logits"] = hierarch_logits
+        if return_tgt:
+            res["tgt_commands"] = commands_dec
+            res["tgt_args"] = args_dec
+            if cfg.use_vae:
+                res["mu"] = mu
+                res["logsigma"] = logsigma
+        return res

@@ -1,0 +1,189 @@
+"""Greedy / temperature sampling from a trained SVGTransformer.
+
+Reference: model/model.py:414-479 (``greedy_sample``, ``_make_valid``,
+``_make_absolute``) and model/utils.py:75-84 (categorical / threshold
+sampling).
+
+One-shot sampling is a single jitted forward + categorical draw. The
+autoregressive path is a ``lax.scan`` over a fixed-length token buffer —
+fully compiled, no Python loop (the reference re-runs a Python forward per
+token, model.py:430-436).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..svgtensor import CMD_ARGS_MASK_NP, CMD_EOS, CMD_M, CMD_SOS, PAD_VAL
+from ..svgtensor import masks as M
+from ..svgtensor.tensor import make_absolute
+from .config import ModelConfig
+from .model import SVGTransformer
+
+
+def sample_categorical(key: Optional[jax.Array], logits: jnp.ndarray,
+                       temperature: float = 0.0001) -> jnp.ndarray:
+    """Temperature sampling; argmax when no key is given (T -> 0 limit)."""
+    if key is None:
+        return jnp.argmax(logits, axis=-1)
+    return jax.random.categorical(key, logits / temperature, axis=-1)
+
+
+def threshold_sample(logits: jnp.ndarray, threshold: float = 0.5,
+                     temperature: float = 1.0) -> jnp.ndarray:
+    """P(class 1) > threshold (model/utils.py:82-84)."""
+    scores = jax.nn.softmax(logits / temperature, axis=-1)[..., 1]
+    return scores > threshold
+
+
+def make_valid(commands: jnp.ndarray, args: jnp.ndarray,
+               visibility: Optional[jnp.ndarray] = None):
+    """Zero out invalid args; replace invisible groups by an empty path
+    (model/model.py:450-459)."""
+    if visibility is not None:
+        s = commands.shape[-1]
+        empty = jnp.concatenate(
+            [jnp.full((1,), CMD_M, commands.dtype),
+             jnp.full((s - 1,), CMD_EOS, commands.dtype)]
+        )
+        commands = jnp.where(visibility[..., None], commands, empty)
+        args = jnp.where(visibility[..., None, None], args, float(PAD_VAL))
+    mask = jnp.asarray(CMD_ARGS_MASK_NP)[commands] > 0
+    args = jnp.where(mask, args, float(PAD_VAL))
+    return commands, args
+
+
+def _finalize_args(cfg: ModelConfig, commands, args):
+    """Undo the relative encoding if needed (model/model.py:440-441)."""
+    if cfg.rel_targets:
+        mask = jnp.asarray(CMD_ARGS_MASK_NP)[commands] > 0
+        deltas = jnp.where(mask, args - (cfg.args_dim - 1), args)
+        args = make_absolute(commands, deltas)
+    return commands, args
+
+
+def one_shot_sample(
+    model: SVGTransformer,
+    variables,
+    z: Optional[jnp.ndarray] = None,
+    commands_enc: Optional[jnp.ndarray] = None,
+    args_enc: Optional[jnp.ndarray] = None,
+    label: Optional[jnp.ndarray] = None,
+    temperature: float = 0.0001,
+    key: Optional[jax.Array] = None,
+    visibility_threshold: float = 0.7,
+    rngs: Optional[dict] = None,
+):
+    """One-shot greedy decode (model/model.py:417-422).
+
+    Returns ``(commands [N, G, S+1], args [N, G, S+1, n_args])`` — padded;
+    flatten with :func:`flatten_groups_np` for the ragged reference layout.
+    """
+    cfg = model.cfg
+    res = model.apply(
+        variables, commands_enc, args_enc, None, None, label=label, z=z,
+        return_tgt=False, deterministic=True, rngs=rngs,
+    )
+    kc, ka = (None, None) if key is None else jax.random.split(key)
+    commands_y = sample_categorical(kc, res["command_logits"], temperature)
+    args_y = sample_categorical(ka, res["args_logits"], temperature) - 1  # PAD shift
+    visibility_y = (
+        threshold_sample(res["visibility_logits"], visibility_threshold)
+        if cfg.decode_stages == 2 else None
+    )
+    commands_y, args_y = make_valid(commands_y, args_y.astype(jnp.float32), visibility_y)
+    return _finalize_args(cfg, commands_y, args_y)
+
+
+def autoregressive_sample(
+    model: SVGTransformer,
+    variables,
+    z: jnp.ndarray,
+    label: Optional[jnp.ndarray] = None,
+    temperature: float = 0.0001,
+    key: Optional[jax.Array] = None,
+):
+    """Autoregressive greedy decode as a jitted ``lax.scan`` over a fixed
+    ``max_total_len`` buffer (replacing model.py:424-438's Python loop).
+
+    Each step runs the decoder over the full buffer under a causal mask and
+    reads the logits at the current position. Returns
+    ``(commands [N, 1, L], args [N, 1, L, n_args])`` without the SOS token.
+    """
+    cfg = model.cfg
+    n = z.shape[0]
+    length = cfg.max_total_len + 1
+
+    buf_cmds = jnp.full((n, 1, length), CMD_EOS, jnp.int32).at[..., 0].set(CMD_SOS)
+    buf_args = jnp.full((n, 1, length, cfg.n_args), float(PAD_VAL), jnp.float32)
+
+    def step(carry, i):
+        cmds, args, k = carry
+        res = model.apply(
+            variables, None, None, cmds, args, label=label, z=z,
+            return_tgt=False, deterministic=True,
+        )
+        if k is None:
+            kc = ka = None
+            knext = None
+        else:
+            k, kc, ka = jax.random.split(k, 3)
+            knext = k
+        cmd_logits = jnp.take(res["command_logits"], i, axis=2)   # [N, 1, n_commands]
+        args_logits = jnp.take(res["args_logits"], i, axis=2)     # [N, 1, n_args, A]
+        cmd_new = sample_categorical(kc, cmd_logits, temperature)
+        args_new = sample_categorical(ka, args_logits, temperature) - 1
+        _, args_new = make_valid(cmd_new, args_new.astype(jnp.float32))
+        cmds = jax.lax.dynamic_update_index_in_dim(cmds, cmd_new, i + 1, axis=2)
+        args = jax.lax.dynamic_update_index_in_dim(args, args_new, i + 1, axis=2)
+        return (cmds, args, knext), None
+
+    (buf_cmds, buf_args, _), _ = jax.lax.scan(
+        step, (buf_cmds, buf_args, key), jnp.arange(cfg.max_total_len)
+    )
+
+    commands_y = buf_cmds[..., 1:]          # drop SOS
+    args_y = buf_args[..., 1:, :]
+    return _finalize_args(cfg, commands_y, args_y)
+
+
+def greedy_sample(
+    model: SVGTransformer,
+    variables,
+    commands_enc=None,
+    args_enc=None,
+    label=None,
+    z=None,
+    temperature: float = 0.0001,
+    key: Optional[jax.Array] = None,
+    rngs: Optional[dict] = None,
+):
+    """Dispatch to one-shot or autoregressive sampling (model/model.py:414-448)."""
+    cfg = model.cfg
+    if cfg.pred_mode == "one_shot":
+        return one_shot_sample(
+            model, variables, z=z, commands_enc=commands_enc, args_enc=args_enc,
+            label=label, temperature=temperature, key=key, rngs=rngs,
+        )
+    if z is None:
+        z = model.apply(
+            variables, commands_enc, args_enc, None, None, label=label,
+            encode_mode=True, deterministic=True, rngs=rngs,
+        )
+    return autoregressive_sample(model, variables, z, label=label,
+                                 temperature=temperature, key=key)
+
+
+def flatten_groups_np(commands: np.ndarray, args: np.ndarray):
+    """Host-side ragged flattening (model/model.py:443-446): drop padded
+    positions, concatenate groups. Per-sample lists of (commands, args)."""
+    commands, args = np.asarray(commands), np.asarray(args)
+    pad = np.asarray(M.padding_mask(jnp.asarray(commands))).astype(bool)
+    out = []
+    for i in range(commands.shape[0]):
+        out.append((commands[i][pad[i]], args[i][pad[i]]))
+    return out

@@ -105,26 +105,50 @@ def pack_sequence(
     return out_cmd, out_args
 
 
+def relative_args_np(commands: np.ndarray, args: np.ndarray) -> np.ndarray:
+    """Host-side absolute -> relative encoding (reference
+    difflib/tensor.py:172-189), used by the data pipeline."""
+    from .constants import CMD_ARGS_MASK_NP
+
+    data = np.asarray(args, dtype=np.float32).copy()
+    commands = np.asarray(commands)
+    real = commands < CMD_EOS
+    d = data[real]
+    if len(d) > 1:
+        start = d[:-1, IndexArgs.END_POS].copy()
+        d[1:, IndexArgs.CONTROL1] -= start
+        d[1:, IndexArgs.CONTROL2] -= start
+        data[real] = d
+    mask = CMD_ARGS_MASK_NP[commands].astype(bool)
+    data[mask] += ARGS_DIM - 1
+    data[~mask] = PAD_VAL
+    return data
+
+
 def pack_groups(
     group_tensors: Sequence[np.ndarray],
     max_num_groups: int,
     max_seq_len: int,
     max_total_len: int,
-    pad_val: int = PAD_VAL,
+    fillings: Sequence[int] | None = None,
 ) -> dict[str, np.ndarray]:
     """Pack a list of per-path ``[n_i, 14]`` row tensors into the full model-args
     dict (reference: svgtensor_dataset.py:164-205 ``get_data``).
 
     Returns a dict with:
-      - ``commands [G, max_seq_len+2]``, ``args [G, max_seq_len+2, 11]`` —
+      - ``commands [G, max_seq_len+2]``, ``args [G, ..., 11]``, ``args_rel`` —
         per-group packed (two-stage models),
-      - ``commands_grouped [max_total_len+2]``, ``args_grouped [..., 11]`` —
-        concatenated packing (one-stage models),
+      - ``commands_grouped [1, max_total_len+2]``, ``args_grouped``,
+        ``args_rel_grouped`` — concatenated packing with a singleton group axis
+        (one-stage models; the reference stacks a 1-element list, giving the
+        same shape),
+      - ``filling [G, 1]`` — per-group filling flags,
     where G = ``max_num_groups``. Missing groups are empty (SOS+EOS+pad).
     """
-    del pad_val  # fixed to PAD_VAL by the format
     groups = [np.asarray(t, dtype=np.float32).reshape(-1, 14) for t in group_tensors]
     groups = groups[:max_num_groups]
+    fill = list(fillings) if fillings is not None else [0] * len(groups)
+    fill = (fill + [0] * max_num_groups)[:max_num_groups]
     while len(groups) < max_num_groups:
         groups.append(np.zeros((0, 14), dtype=np.float32))
 
@@ -141,8 +165,13 @@ def pack_groups(
     return {
         "commands": sep_cmd,
         "args": sep_args,
-        "commands_grouped": grouped_cmd,
-        "args_grouped": grouped_args,
+        "args_rel": np.stack(
+            [relative_args_np(sep_cmd[g], sep_args[g]) for g in range(max_num_groups)]
+        ),
+        "commands_grouped": grouped_cmd[None],
+        "args_grouped": grouped_args[None],
+        "args_rel_grouped": relative_args_np(grouped_cmd, grouped_args)[None],
+        "filling": np.asarray(fill, dtype=np.int32)[:, None],
     }
 
 

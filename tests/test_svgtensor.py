@@ -98,8 +98,10 @@ class TestPacking:
         out = pack_groups(tensors, g, s, t)
         assert out["commands"].shape == (g, s + 2)
         assert out["args"].shape == (g, s + 2, N_ARGS)
-        assert out["commands_grouped"].shape == (t + 2,)
-        assert out["args_grouped"].shape == (t + 2, N_ARGS)
+        assert out["commands_grouped"].shape == (1, t + 2)
+        assert out["args_grouped"].shape == (1, t + 2, N_ARGS)
+        assert out["args_rel"].shape == (g, s + 2, N_ARGS)
+        assert out["filling"].shape == (g, 1)
         # empty groups are SOS + all-EOS
         assert out["commands"][2, 0] == CMD_SOS
         assert (out["commands"][2, 1:] == CMD_EOS).all()
