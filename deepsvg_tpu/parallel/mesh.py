@@ -1,0 +1,69 @@
+"""Device mesh + sharding for data-parallel (and future model-parallel) runs.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(train.py:74) — replicate/scatter/gather over local GPUs. The TPU-native
+equivalent is a ``jax.sharding.Mesh`` with the batch axis sharded over the
+``data`` axis: gradients all-reduce over ICI automatically inside the jitted
+step (SURVEY.md §2 parallelism inventory). A ``model`` axis is exposed for
+future tensor parallelism, but the ~10M-param model needs none.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    data_axis: str = "data",
+    model_axis: Optional[str] = None,
+    n_model: int = 1,
+) -> Mesh:
+    """A 1-D (data) or 2-D (data x model) mesh over the available devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if model_axis is None:
+        return Mesh(np.asarray(devices), (data_axis,))
+    assert n % n_model == 0
+    grid = np.asarray(devices).reshape(n // n_model, n_model)
+    return Mesh(grid, (data_axis, model_axis))
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis; everything else
+    replicated."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, data_axis: str = "data") -> dict:
+    """Place a host batch dict onto the mesh, batch-axis sharded."""
+    sharding = batch_sharding(mesh, data_axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def make_parallel_train_step(model, optimizer, model_args, mesh: Mesh,
+                             data_axis: str = "data"):
+    """Jit the train step with explicit shardings: state replicated, batch
+    sharded over ``data``. XLA inserts the gradient psum over ICI."""
+    from functools import partial
+
+    from ..training.trainer import train_step
+
+    fn = partial(train_step, model=model, optimizer=optimizer, model_args=model_args)
+    repl = replicated(mesh)
+    batch_sh = batch_sharding(mesh, data_axis)
+    return jax.jit(
+        fn,
+        in_shardings=(repl, batch_sh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

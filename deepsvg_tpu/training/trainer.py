@@ -1,0 +1,122 @@
+"""Train state and jitted train/eval steps.
+
+The reference hot loop (train.py:77-135) dispatches Python-side per step:
+``.to(device)``, forward, backward, clip, optimizer/scheduler stepping. Here
+the entire step — forward, loss, backward, global-norm clip, AdamW update,
+lr schedule — is one jitted (optionally pjit-sharded) function.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.config import ModelConfig
+from ..models.loss import svg_loss
+from ..models.model import SVGTransformer
+
+
+class TrainState(flax.struct.PyTreeNode):
+    """Replicable training state: params + optimizer state + step + rng."""
+
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def make_optimizer(
+    lr_schedule: Callable,
+    grad_clip: float = 1.0,
+    weight_decay: float = 0.01,
+) -> optax.GradientTransformation:
+    """AdamW + global-norm clipping (reference config.py:73-76 make_optimizers
+    + train.py:99-100 clip_grad_norm)."""
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(lr_schedule, weight_decay=weight_decay),
+    )
+
+
+def create_train_state(
+    model: SVGTransformer,
+    optimizer: optax.GradientTransformation,
+    sample_batch: dict,
+    model_args: list[str],
+    seed: int = 42,
+) -> TrainState:
+    """Initialize params from a sample batch (reference train.py:66-72 init
+    forward pass)."""
+    rngs = {"params": jax.random.key(seed)}
+    if model.cfg.use_vae:
+        rngs["vae"] = jax.random.key(seed + 1)
+    args = [sample_batch[k] for k in model_args]
+    variables = model.init(rngs, *args)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        opt_state=optimizer.init(variables["params"]),
+        rng=jax.random.key(seed + 2),
+    )
+
+
+def train_step(
+    state: TrainState,
+    batch: dict,
+    weights: dict,
+    model: SVGTransformer,
+    optimizer: optax.GradientTransformation,
+    model_args: list[str],
+) -> tuple[TrainState, dict]:
+    """One fully-fused training step. ``weights`` values may be traced scalars
+    (the KL ramp changes per step without recompilation)."""
+    rng, drop_rng, vae_rng = jax.random.split(state.rng, 3)
+    args = [batch[k] for k in model_args]
+
+    def loss_fn(params):
+        rngs = {"dropout": drop_rng}
+        if model.cfg.use_vae:
+            rngs["vae"] = vae_rng
+        out = model.apply({"params": params}, *args, deterministic=False, rngs=rngs)
+        res = svg_loss(out, weights, model.cfg)
+        return res["loss"], res
+
+    (_, res), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(
+        step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+    )
+    res = dict(res)
+    res["grad_norm"] = optax.global_norm(grads)
+    return new_state, res
+
+
+def eval_step(
+    state: TrainState,
+    batch: dict,
+    weights: dict,
+    model: SVGTransformer,
+    model_args: list[str],
+) -> dict:
+    """Forward + loss without update (deterministic, VAE still samples with a
+    fixed key for reproducibility)."""
+    args = [batch[k] for k in model_args]
+    rngs = {"vae": jax.random.key(0)} if model.cfg.use_vae else None
+    out = model.apply({"params": state.params}, *args, deterministic=True, rngs=rngs)
+    return svg_loss(out, weights, model.cfg)
+
+
+def jit_train_step(model, optimizer, model_args, donate: bool = True):
+    """Close over the static pieces and jit. Donates the state buffer."""
+    fn = partial(train_step, model=model, optimizer=optimizer, model_args=model_args)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def jit_eval_step(model, model_args):
+    return jax.jit(partial(eval_step, model=model, model_args=model_args))
