@@ -1,0 +1,114 @@
+"""Batch loader: shuffled epochs, worker threads, host->device prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` (train.py:27) with a
+framework-owned numpy pipeline: items are packed on CPU worker threads, stacked
+into fixed-shape batches, and (optionally) asynchronously staged onto the
+device/mesh so that the TPU never waits on the host (HBM-feeding discipline).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def collate(items: list[dict]) -> dict:
+    """Stack a list of per-item dicts into one batch dict of arrays."""
+    out = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        if vals[0] is None:
+            continue
+        out[k] = np.stack([np.asarray(v) for v in vals])
+    return out
+
+
+class DataLoader:
+    """Minimal epoch iterator: shuffle, batch, drop_last, threaded prefetch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 4,
+                 prefetch: int = 4, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = prefetch
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        batches = [
+            idx[i : i + self.batch_size] for i in range(0, n, self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __iter__(self) -> Iterator[dict]:
+        self._epoch += 1
+        batches = self._index_batches()
+        if self.num_workers <= 1:
+            for b in batches:
+                yield collate([self.dataset[int(i)] for i in b])
+            return
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        batch_iter = iter(batches)
+        lock = threading.Lock()
+        n_batches = len(batches)
+        _SENTINEL = object()
+
+        # ordered output: workers claim (slot, indices) and a single
+        # reordering consumer yields in sequence
+        results: dict[int, dict] = {}
+        results_cv = threading.Condition()
+        claimed = iter(enumerate(batches))
+
+        def worker():
+            while True:
+                with lock:
+                    nxt = next(claimed, None)
+                if nxt is None:
+                    return
+                slot, b = nxt
+                batch = collate([self.dataset[int(i)] for i in b])
+                with results_cv:
+                    results[slot] = batch
+                    results_cv.notify_all()
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        for slot in range(n_batches):
+            with results_cv:
+                while slot not in results:
+                    results_cv.wait()
+                yield results.pop(slot)
+
+
+def device_put_sharded(batch: dict, mesh=None):
+    """Move a host batch onto the device (or sharded over a mesh)."""
+    import jax
+
+    if mesh is None:
+        return jax.tree.map(jax.device_put, batch)
+    from ..parallel.mesh import shard_batch
+
+    return shard_batch(batch, mesh)

@@ -1,0 +1,107 @@
+"""Checkpoint save/resume (reference: deepsvg/utils/train_utils.py:10-156).
+
+Same semantics as the reference — ``{step:06d}`` directories with model +
+optimizer + stats + config, unconditional "best" copy, latest-step restore,
+weights-only load for inference — implemented on orbax-style msgpack
+serialization of flax pytrees (preemption-safe atomic writes).
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+from typing import Optional, Tuple
+
+import numpy as np
+from flax import serialization
+
+
+def _ckpt_path(checkpoint_dir: str, step: int) -> str:
+    return os.path.join(checkpoint_dir, f"{step:06d}.ckpt")
+
+
+def save_ckpt(
+    checkpoint_dir: str,
+    state,
+    cfg=None,
+    stats=None,
+    train_vars=None,
+    best: bool = True,
+):
+    """Serialize the full training state at ``state.step``. Atomic (tmp +
+    rename); also refreshes ``best.ckpt`` when ``best`` (the reference copies
+    unconditionally — Stats.is_best() is a True stub)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    step = int(state.step)
+
+    payload = {
+        "state": serialization.to_bytes(state),
+        "meta": json.dumps(
+            {
+                "step": step,
+                "cfg": cfg.to_dict() if cfg is not None else None,
+                "stats": stats.to_dict() if stats is not None else None,
+                "train_vars": train_vars.to_dict() if train_vars is not None else None,
+            }
+        ).encode(),
+    }
+
+    path = _ckpt_path(checkpoint_dir, step)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, path)
+
+    if best:
+        shutil.copyfile(path, os.path.join(checkpoint_dir, "best.ckpt"))
+    return path
+
+
+def latest_ckpt(checkpoint_dir: str) -> Optional[str]:
+    files = sorted(glob.glob(os.path.join(checkpoint_dir, "[0-9]" * 6 + ".ckpt")))
+    return files[-1] if files else None
+
+
+def load_ckpt(
+    path_or_dir: str,
+    state_template,
+    cfg=None,
+    stats=None,
+    train_vars=None,
+) -> Tuple[object, bool]:
+    """Restore state (+ cfg/stats/train_vars in place) from a checkpoint file
+    or the latest one in a directory. Returns (state, found)."""
+    path = path_or_dir
+    if os.path.isdir(path_or_dir):
+        path = latest_ckpt(path_or_dir)
+        if path is None:
+            return state_template, False
+    if not os.path.exists(path):
+        return state_template, False
+
+    with np.load(path, allow_pickle=False) as z:
+        state = serialization.from_bytes(state_template, z["state"].tobytes())
+        meta = json.loads(z["meta"].tobytes().decode())
+
+    if cfg is not None and meta.get("cfg"):
+        cfg.load_dict(meta["cfg"])
+    if stats is not None and meta.get("stats"):
+        stats.load_dict(meta["stats"])
+    if train_vars is not None and meta.get("train_vars"):
+        train_vars.load_dict(meta["train_vars"])
+    return state, True
+
+
+def save_model(path: str, params):
+    """Weights-only save (inference artifact; reference ``load_model``
+    counterpart)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_model(path: str, params_template):
+    """Weights-only restore (reference train_utils.py:147-156)."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(params_template, f.read())

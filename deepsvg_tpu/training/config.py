@@ -1,0 +1,151 @@
+"""Training config with the reference's hook surface (deepsvg/config.py).
+
+Experiments subclass :class:`TrainConfig`, overriding the factory hooks
+(``make_model`` / ``make_optimizer`` / ``get_weights`` / ``set_train_vars`` /
+``visualize``) and are selected by module path on the CLI, exactly like the
+reference's inversion-of-control pattern (SURVEY.md §1). ``num_devices``
+replaces ``num_gpus`` and scales batch/lr the same way.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import optax
+
+from ..models.config import ModelConfig
+from .schedulers import warmup_step_decay
+
+
+class TrainConfig:
+    def __init__(self, num_devices: int = 1):
+        self.num_devices = num_devices
+
+        # dataset selection (reference config.py:12-17)
+        self.dataloader_module = "deepsvg_tpu.data.dataset"
+        self.data_dir = "./dataset/icons_tensor/"
+        self.meta_filepath = "./dataset/icons_meta.csv"
+        self.loader_num_workers = 4 * num_devices
+
+        self.pretrained_path: Optional[str] = None
+
+        self.model_cfg: Optional[ModelConfig] = None
+
+        # optimization (reference config.py:24-29)
+        self.num_epochs: Optional[int] = None
+        self.num_steps: Optional[int] = None
+        self.learning_rate = 1e-3
+        self.batch_size = 100
+        self.warmup_steps = 500
+        self.grad_clip: Optional[float] = None
+
+        # dataset filters (reference config.py:32-45)
+        self.train_ratio = 1.0
+        self.nb_augmentations = 1
+        self.max_num_groups = 15
+        self.max_seq_len = 30
+        self.max_total_len: Optional[int] = None
+        self.filter_uni = None
+        self.filter_category = None
+        self.filter_platform = None
+        self.filter_labels = None
+
+        # cadence (reference config.py:48-50)
+        self.log_every = 20
+        self.val_every = 1000
+        self.ckpt_every = 1000
+
+        self.stats_to_print = {"train": ["lr", "time"]}
+
+        self.model_args: list[str] = []
+
+    # --- overridable hooks -----------------------------------------------
+    def make_model(self):
+        from ..models.model import SVGTransformer
+
+        return SVGTransformer(self.model_cfg)
+
+    def make_losses(self):
+        """Loss callable(s); default is svg_loss bound to the model config."""
+        from ..models.loss import svg_loss
+
+        cfg = self.model_cfg
+        return [lambda output, weights: svg_loss(output, weights, cfg)]
+
+    def make_lr_schedule(self, steps_per_epoch: int):
+        """Warmup + StepLR gamma=0.9 / 2.5 epochs (default_icons.py:55-57)."""
+        return warmup_step_decay(
+            self.learning_rate,
+            warmup_steps=self.warmup_steps,
+            decay_every=max(int(2.5 * steps_per_epoch), 1),
+            gamma=0.9,
+        )
+
+    def make_optimizer(self, steps_per_epoch: int) -> optax.GradientTransformation:
+        from .trainer import make_optimizer
+
+        return make_optimizer(
+            self.make_lr_schedule(steps_per_epoch),
+            grad_clip=self.grad_clip if self.grad_clip is not None else 1e9,
+        )
+
+    def get_params(self, step, epoch) -> dict:
+        return {}
+
+    def get_weights(self, step, epoch) -> dict:
+        return {}
+
+    def set_train_vars(self, train_vars, dataset):
+        pass
+
+    def visualize(self, model, variables, train_vars, step, epoch,
+                  summary_writer, visualization_dir):
+        pass
+
+    # --- serialization ----------------------------------------------------
+    def values(self):
+        for key in sorted(dir(self)):
+            if key.startswith("__"):
+                continue
+            val = getattr(self, key)
+            if callable(val):
+                continue
+            yield key, val
+
+    def to_dict(self) -> dict:
+        import dataclasses
+
+        out = {}
+        for key, val in self.values():
+            if dataclasses.is_dataclass(val):
+                out[key] = dataclasses.asdict(val)
+            else:
+                try:
+                    import json
+
+                    json.dumps(val)
+                    out[key] = val
+                except (TypeError, ValueError):
+                    out[key] = repr(val)
+        return out
+
+    def load_dict(self, d: dict):
+        import dataclasses
+
+        for key, val in d.items():
+            cur = getattr(self, key, None)
+            if dataclasses.is_dataclass(cur) and isinstance(val, dict):
+                setattr(self, key, type(cur)(**val))
+            elif isinstance(val, (int, float, str, bool, list, dict, type(None))):
+                setattr(self, key, val)
+
+    def print_params(self):
+        for key, val in self.values():
+            print(f"  {key} = {val}")
+
+
+def load_config(config_module: str, num_devices: int = 1) -> TrainConfig:
+    """Import an experiment config by module path (reference train.py:147)."""
+    import importlib
+
+    module = importlib.import_module(config_module)
+    return module.Config(num_devices)

@@ -1,0 +1,203 @@
+"""Config-driven training loop + CLI (reference: deepsvg/train.py).
+
+Differences from the reference, per the TPU-first design:
+- the whole optimization step (forward/loss/backward/clip/update/schedule) is
+  ONE jitted function, sharded over the device mesh (DP) when >1 device;
+- loss weights (KL ramp) enter the step as traced scalars — no recompiles;
+- checkpointing via flax serialization with atomic writes.
+
+CLI: ``python -m deepsvg_tpu.training.train --config-module
+configs_tpu.hierarchical_ordered [--log-dir ./logs] [--debug] [--resume]``.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+import jax
+import numpy as np
+
+from ..data.loader import DataLoader, device_put_sharded
+from ..parallel.mesh import make_mesh, make_parallel_train_step
+from .checkpoint import load_ckpt, save_ckpt
+from .config import TrainConfig, load_config
+from .stats import Stats, Timer, TrainVars
+from .trainer import create_train_state, jit_train_step
+
+
+def set_seed(seed: int = 42):
+    import random
+
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
+          log_dir: str = "./logs", debug: bool = False, resume: bool = False,
+          dataset=None, max_steps: int | None = None):
+    """Main entry (reference train.py:18-135)."""
+    print("Parameters")
+    cfg.print_params()
+
+    # dataset (injected or loaded via the module-path hook)
+    if dataset is None:
+        import importlib
+
+        dataset_module = importlib.import_module(cfg.dataloader_module)
+        dataset = dataset_module.load_dataset(cfg)
+    loader = DataLoader(
+        dataset, batch_size=cfg.batch_size, shuffle=True, drop_last=True,
+        num_workers=cfg.loader_num_workers,
+    )
+    steps_per_epoch = max(len(loader), 1)
+
+    model = cfg.make_model()
+    model_args = cfg.model_args
+
+    stats = Stats(
+        num_epochs=cfg.num_epochs, num_steps=cfg.num_steps,
+        steps_per_epoch=steps_per_epoch, stats_to_print=cfg.stats_to_print,
+    )
+    train_vars = TrainVars()
+    timer = Timer()
+
+    stats.stats["train"]  # touch
+    cfg.set_train_vars(train_vars, dataset)
+
+    # log dirs (reference train.py:44-49)
+    current_time = datetime.now().strftime("%b%d_%H-%M-%S")
+    experiment_identifier = f"{model_name}_{experiment_name}_{current_time}"
+    subdir = "debug" if debug else "full"
+    summary_writer = _make_summary_writer(
+        os.path.join(log_dir, "tensorboard", subdir, experiment_identifier)
+    )
+    checkpoint_dir = os.path.join(log_dir, "models", model_name, experiment_name)
+    visualization_dir = os.path.join(log_dir, "visualization", model_name, experiment_name)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    os.makedirs(visualization_dir, exist_ok=True)
+
+    # init state from one sample batch (reference init forward, train.py:66-72)
+    sample_batch = next(iter(loader))
+    batch_dev = {k: np.asarray(v) for k, v in sample_batch.items() if k in set(model_args)}
+    optimizer = cfg.make_optimizer(steps_per_epoch)
+    state = create_train_state(model, optimizer, batch_dev, model_args)
+
+    if cfg.pretrained_path is not None:
+        from .checkpoint import load_model
+
+        state = state.replace(params=load_model(cfg.pretrained_path, state.params))
+
+    if resume:
+        state, found = load_ckpt(checkpoint_dir, state, cfg, stats, train_vars)
+        if found:
+            print(f"Resuming model at step {int(state.step)}")
+
+    # device mesh: DP over all requested devices
+    n_dev = min(cfg.num_devices, jax.device_count())
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if mesh is not None:
+        step_fn = make_parallel_train_step(model, optimizer, model_args, mesh)
+    else:
+        step_fn = jit_train_step(model, optimizer, model_args)
+
+    lr_schedule = cfg.make_lr_schedule(steps_per_epoch)
+
+    import itertools
+
+    if max_steps is not None or cfg.num_epochs is None:
+        epoch_range = itertools.count()
+    else:
+        epoch_range = range(cfg.num_epochs)
+    first_epoch = int(state.step) // steps_per_epoch
+
+    done = False
+    for epoch in epoch_range:
+        if done:
+            break
+        if epoch < first_epoch:
+            continue
+        print(f"Epoch {epoch + 1}")
+        for n_iter, batch in enumerate(loader):
+            step = int(state.step) + 1
+
+            weights = cfg.get_weights(step, epoch)
+            batch_model = {k: v for k, v in batch.items() if k in set(model_args)}
+            batch_model = device_put_sharded(batch_model, mesh)
+
+            state, res = step_fn(state, batch_model, weights)
+
+            if cfg.num_steps is not None and step > cfg.num_steps:
+                done = True
+                break
+            if max_steps is not None and step >= max_steps:
+                done = True
+
+            if step % cfg.log_every == 0:
+                scalar_stats = {
+                    k: float(v) for k, v in res.items() if np.ndim(v) == 0
+                }
+                scalar_stats.update(
+                    {k: float(v) for k, v in weights.items() if np.ndim(v) == 0}
+                )
+                scalar_stats["lr"] = float(lr_schedule(step))
+                scalar_stats["time"] = timer.get_elapsed_time() / cfg.log_every
+                stats.update("train", step, epoch, scalar_stats)
+                print(stats.get_summary("train"))
+                stats.write_tensorboard(summary_writer, "train")
+
+            if step % cfg.val_every == 0:
+                timer.reset()
+                cfg.visualize(
+                    model, {"params": state.params}, train_vars, step, epoch,
+                    summary_writer, visualization_dir,
+                )
+
+            if not debug and step % cfg.ckpt_every == 0:
+                save_ckpt(checkpoint_dir, state, cfg, stats, train_vars)
+
+            if done:
+                break
+
+    if not debug:
+        save_ckpt(checkpoint_dir, state, cfg, stats, train_vars)
+    return state, stats
+
+
+def _make_summary_writer(path):
+    try:
+        from tensorboardX import SummaryWriter
+
+        return SummaryWriter(path)
+    except Exception:
+
+        class _Null:
+            def add_scalar(self, *a, **k):
+                pass
+
+            def add_image(self, *a, **k):
+                pass
+
+        return _Null()
+
+
+def main():
+    parser = argparse.ArgumentParser(description="DeepSVG-TPU trainer")
+    parser.add_argument("--config-module", type=str, required=True)
+    parser.add_argument("--num-devices", type=int, default=None)
+    parser.add_argument("--log-dir", type=str, default="./logs")
+    parser.add_argument("--debug", action="store_true", default=False)
+    parser.add_argument("--resume", action="store_true", default=False)
+    args = parser.parse_args()
+
+    n_dev = args.num_devices or jax.device_count()
+    cfg = load_config(args.config_module, n_dev)
+    model_name, experiment_name = args.config_module.split(".")[-2:]
+
+    set_seed(42)
+    train(cfg, model_name, experiment_name, log_dir=args.log_dir,
+          debug=args.debug, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()

@@ -61,7 +61,8 @@ def create_train_state(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
         opt_state=optimizer.init(variables["params"]),
-        rng=jax.random.key(seed + 2),
+        # legacy raw uint32 key: serializable by flax (typed keys are not)
+        rng=jax.random.PRNGKey(seed + 2),
     )
 
 

@@ -1,0 +1,179 @@
+"""Training runtime tests: loader, stats, checkpointing, the full config-driven
+train() loop with resume, on synthetic data."""
+import os
+
+import numpy as np
+import pytest
+
+from deepsvg_tpu.data.loader import DataLoader, collate
+from deepsvg_tpu.data.synthetic import SyntheticIconDataset
+from deepsvg_tpu.training.checkpoint import (
+    latest_ckpt,
+    load_ckpt,
+    load_model,
+    save_ckpt,
+    save_model,
+)
+from deepsvg_tpu.training.stats import SmoothedValue, Stats, TrainVars
+from deepsvg_tpu.training.train import train
+
+
+class TinyConfig:
+    """Minimal experiment config over synthetic data."""
+
+    def __new__(cls, num_devices=1):
+        import dataclasses
+
+        from deepsvg_tpu.models.config import ModelConfig
+        from deepsvg_tpu.training.config import TrainConfig
+
+        cfg = TrainConfig(num_devices)
+        cfg.model_cfg = ModelConfig(
+            encode_stages=2, decode_stages=2, use_vae=False,
+            max_num_groups=3, max_seq_len=6, d_model=32, dim_feedforward=64,
+            dim_z=16, n_layers=1, n_layers_decode=1, n_heads=4, dropout=0.0,
+        )
+        cfg.model_args = cfg.model_cfg.get_model_args()
+        cfg.max_num_groups = 3
+        cfg.max_seq_len = 6
+        cfg.batch_size = 8
+        cfg.num_epochs = 1
+        cfg.log_every = 2
+        cfg.val_every = 10_000
+        cfg.ckpt_every = 4
+        cfg.warmup_steps = 2
+        cfg.loader_num_workers = 1
+        cfg.get_weights = lambda step, epoch: {
+            "kl_tolerance": 0.1, "loss_kl_weight": 1.0,
+            "loss_visibility_weight": 1.0, "loss_cmd_weight": 1.0,
+            "loss_args_weight": 2.0,
+        }
+        return cfg
+
+
+def tiny_dataset():
+    return SyntheticIconDataset(n=32, max_num_groups=3, max_seq_len=6)
+
+
+class TestLoader:
+    def test_epoch_iteration(self):
+        ds = tiny_dataset()
+        loader = DataLoader(ds, batch_size=8, num_workers=2, seed=1)
+        batches = list(loader)
+        assert len(batches) == 4
+        assert batches[0]["commands"].shape == (8, 3, 8)
+
+    def test_shuffle_differs_between_epochs(self):
+        ds = tiny_dataset()
+        loader = DataLoader(ds, batch_size=8, num_workers=1, seed=1)
+        b1 = next(iter(loader))
+        b2 = next(iter(loader))
+        assert not (b1["commands"] == b2["commands"]).all()
+
+    def test_collate_skips_none(self):
+        out = collate([{"a": np.zeros(2), "label": None}] * 3)
+        assert "a" in out and "label" not in out
+
+
+class TestStats:
+    def test_smoothed_value(self):
+        s = SmoothedValue(window_size=3)
+        for v in [1, 2, 3, 4]:
+            s.update(v)
+        assert s.median == 3
+        assert s.global_avg == 2.5
+        assert s.value == 4
+
+    def test_stats_summary(self):
+        st = Stats(num_epochs=2, steps_per_epoch=10)
+        st.update("train", 5, 0, {"loss": 1.5, "time": 0.1})
+        s = st.get_summary("train")
+        assert "step 5/20" in s and "loss" in s
+
+    def test_train_vars(self):
+        tv = TrainVars()
+        tv.foo = [1, 2]
+        assert tv.foo == [1, 2]
+        assert tv.missing is None
+        tv2 = TrainVars()
+        tv2.load_dict(tv.to_dict())
+        assert tv2.foo == [1, 2]
+
+
+class TestCheckpoint:
+    def _make_state(self):
+        import jax
+
+        from deepsvg_tpu.models import SVGTransformer
+        from deepsvg_tpu.training.schedulers import warmup_step_decay
+        from deepsvg_tpu.training.trainer import create_train_state, make_optimizer
+
+        cfg = TinyConfig()
+        ds = tiny_dataset()
+        batch = ds.get_batch(range(4))
+        batch = {k: v for k, v in batch.items() if k in set(cfg.model_args)}
+        model = SVGTransformer(cfg.model_cfg)
+        opt = make_optimizer(warmup_step_decay(1e-3, 2, 100))
+        state = create_train_state(model, opt, batch, cfg.model_args)
+        return cfg, state
+
+    def test_round_trip(self, tmp_path):
+        import jax
+
+        cfg, state = self._make_state()
+        state = state.replace(step=state.step + 7)
+        path = save_ckpt(str(tmp_path), state, cfg)
+        assert os.path.basename(path) == "000007.ckpt"
+        assert os.path.exists(os.path.join(tmp_path, "best.ckpt"))
+
+        restored, found = load_ckpt(str(tmp_path), state)
+        assert found
+        assert int(restored.step) == 7
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_latest_selection(self, tmp_path):
+        cfg, state = self._make_state()
+        save_ckpt(str(tmp_path), state.replace(step=state.step + 3), cfg)
+        save_ckpt(str(tmp_path), state.replace(step=state.step + 9), cfg)
+        assert latest_ckpt(str(tmp_path)).endswith("000009.ckpt")
+
+    def test_weights_only(self, tmp_path):
+        cfg, state = self._make_state()
+        p = str(tmp_path / "weights.bin")
+        save_model(p, state.params)
+        restored = load_model(p, state.params)
+        import jax
+
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestTrainLoop:
+    def test_end_to_end_with_resume(self, tmp_path):
+        cfg = TinyConfig()
+        ds = tiny_dataset()
+        state, stats = train(
+            cfg, "tiny", "t1", log_dir=str(tmp_path), dataset=ds, max_steps=4
+        )
+        assert int(state.step) == 4
+        ckpt_dir = os.path.join(str(tmp_path), "models", "tiny", "t1")
+        assert latest_ckpt(ckpt_dir) is not None
+
+        # resume continues from step 4
+        state2, _ = train(
+            cfg, "tiny", "t1", log_dir=str(tmp_path), dataset=ds,
+            resume=True, max_steps=6,
+        )
+        assert int(state2.step) == 6
+
+    def test_config_serialization(self):
+        cfg = TinyConfig()
+        d = cfg.to_dict()
+        assert d["batch_size"] == 8
+        cfg2 = TinyConfig()
+        cfg2.batch_size = 99
+        cfg2.load_dict(d)
+        assert cfg2.batch_size == 8
+        # nested model dataclass round trip
+        assert cfg2.model_cfg.d_model == 32
