@@ -226,9 +226,9 @@ class SVGDataset(SVGDatasetBase):
             svg = svg.simplify_heuristic()
         return svg
 
-    _augment = staticmethod(SVGTensorDataset._augment.__func__)
-    preprocess = staticmethod(SVGTensorDataset.preprocess.__func__)
-    simplify = staticmethod(SVGTensorDataset.simplify.__func__)
+    _augment = SVGTensorDataset._augment
+    preprocess = SVGTensorDataset.preprocess
+    simplify = SVGTensorDataset.simplify
 
     def get(self, idx=0, model_args=None, random_aug=True, id=None, svg: Optional[SVG] = None):
         if id is None:

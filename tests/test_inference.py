@@ -1,0 +1,201 @@
+"""Tests for the high-level inference API, the tensor-pickle dataset loader,
+and the animation project layer — wired together end-to-end on a synthetic
+on-disk dataset."""
+import os
+import pickle
+
+import jax
+import numpy as np
+import pytest
+
+from deepsvg_tpu.animate import DeepSVGProject, Frame, compute_interpolation, finetune_model, preprocess_svg_path
+from deepsvg_tpu.data.dataset import SVGFinetuneDataset, SVGTensorDataset
+from deepsvg_tpu.data.synthetic import generate_icon
+from deepsvg_tpu.inference import InferenceSession, easein_easeout
+from deepsvg_tpu.models import ModelConfig, SVGTransformer
+from deepsvg_tpu.svglib import SVG, Bbox, SVGPath
+
+
+def tiny_model_cfg():
+    return ModelConfig(
+        encode_stages=2, decode_stages=2, use_vae=False,
+        max_num_groups=3, max_seq_len=6, d_model=32, dim_feedforward=64,
+        dim_z=16, n_layers=1, n_layers_decode=1, n_heads=4, dropout=0.0,
+    )
+
+
+@pytest.fixture(scope="module")
+def disk_dataset(tmp_path_factory):
+    """Synthetic icons written as reference-layout pickles + meta CSV."""
+    import pandas as pd
+
+    from deepsvg_tpu.data.synthetic import _random_path
+
+    root = tmp_path_factory.mktemp("icons")
+    data_dir = root / "tensors"
+    data_dir.mkdir()
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(12):
+        n_groups = int(rng.integers(1, 4))
+        tensors = [_random_path(rng, int(rng.integers(3, 7))) for _ in range(n_groups)]
+        flat = np.concatenate(tensors, axis=0)
+        with open(data_dir / f"icon{i}.pkl", "wb") as f:
+            pickle.dump({"tensors": [flat, flat], "fillings": [0] * n_groups}, f)
+        lens = [len(t) + 1 for t in tensors]
+        rows.append({
+            "id": f"icon{i}", "total_len": sum(lens), "nb_groups": n_groups,
+            "max_len_group": max(lens), "category": "free-icons",
+        })
+    meta = root / "meta.csv"
+    pd.DataFrame(rows).to_csv(meta, index=False)
+    return str(data_dir), str(meta)
+
+
+@pytest.fixture(scope="module")
+def session(disk_dataset):
+    data_dir, meta = disk_dataset
+    cfg_m = tiny_model_cfg()
+    dataset = SVGTensorDataset(
+        data_dir, meta, cfg_m.get_model_args(), cfg_m.max_num_groups,
+        cfg_m.max_seq_len, cfg_m.max_total_len,
+    )
+    model = SVGTransformer(cfg_m)
+    item = dataset[0]
+    cmds = np.asarray(item["commands"])[None]
+    args = np.asarray(item["args"])[None]
+    variables = model.init({"params": jax.random.PRNGKey(0)}, cmds, args, cmds, args)
+    return InferenceSession(model, variables, dataset=dataset)
+
+
+class TestDiskDataset:
+    def test_load_and_filter(self, disk_dataset):
+        data_dir, meta = disk_dataset
+        cfg_m = tiny_model_cfg()
+        ds = SVGTensorDataset(
+            data_dir, meta, cfg_m.get_model_args(), cfg_m.max_num_groups,
+            cfg_m.max_seq_len, cfg_m.max_total_len,
+        )
+        assert len(ds) > 0
+        item = ds[0]
+        assert item["commands"].shape == (3, 8)
+        assert item["args"].shape == (3, 8, 11)
+
+    def test_label_from_category(self, disk_dataset):
+        data_dir, meta = disk_dataset
+        cfg_m = tiny_model_cfg()
+        ds = SVGTensorDataset(
+            data_dir, meta, [*cfg_m.get_model_args(), "label"], cfg_m.max_num_groups,
+            cfg_m.max_seq_len, cfg_m.max_total_len,
+        )
+        assert int(ds.get_label(0)) == 1  # free-icons
+
+    def test_get_from_svg(self, disk_dataset, session):
+        svg = SVG.unit_circle().normalize(Bbox(256)).numericalize(256)
+        item = session.dataset.get(svg=svg, model_args=["commands", "args"])
+        assert item["commands"].shape == (3, 8)
+
+
+class TestInference:
+    def test_encode_decode(self, session):
+        z = session.encode_icon(idx=0)
+        assert z.shape == (1, 16)
+        svgs = session.decode(z)
+        assert len(svgs) == 1 and isinstance(svgs[0], SVG)
+
+    def test_encode_svg(self, session):
+        svg = SVG.unit_circle().normalize(Bbox(256)).numericalize(256)
+        z = session.encode_svg(svg)
+        assert z.shape == (1, 16)
+
+    def test_interpolation_batched(self, session):
+        z1 = session.encode_icon(idx=0)
+        z2 = session.encode_icon(idx=1)
+        svgs = session.interpolate(z1, z2, n=5, ease=True)
+        assert len(svgs) == 5
+
+    def test_latent_direction(self, session):
+        a = SVG.unit_circle().normalize(Bbox(256)).numericalize(256)
+        b = SVG.unit_square().normalize(Bbox(256)).numericalize(256)
+        d = session.latent_direction([a], [b])
+        assert d.shape == (16,)
+        out = session.apply_direction(session.encode_svg(a), d, [0.0, 0.5, 1.0])
+        assert len(out) == 3
+
+    def test_random_sample(self, session):
+        svgs = session.random_sample(n=3, key=jax.random.PRNGKey(1))
+        assert len(svgs) == 3
+
+    def test_easing(self):
+        t = np.linspace(0, 1, 11)
+        e = easein_easeout(t)
+        assert e[0] == 0 and e[-1] == 1
+        assert np.all(np.diff(e) >= 0)
+
+
+class TestAnimate:
+    def test_preprocess_svg_path(self):
+        path = SVGPath.from_str(
+            "M 10 10 " + " ".join(
+                f"L {10 + 100 * np.cos(a):.2f} {10 + 100 * np.sin(a):.2f}"
+                for a in np.linspace(0.1, 3.0, 40)
+            )
+        ).path
+        out = preprocess_svg_path(path)
+        assert len(out.path_commands) < 40
+        t = out.to_tensor()
+        coords = t[:, 6:][t[:, 6:] != -1]
+        assert coords.min() >= 0 and coords.max() <= 255
+
+    def test_project_round_trip(self, tmp_path):
+        project = DeepSVGProject(name="test", root_dir=str(tmp_path))
+        project.frames = [
+            Frame(0, keyframe=True, svg=SVG.unit_circle().normalize()),
+            Frame(1),
+            Frame(2, keyframe=True, svg=SVG.unit_square().normalize()),
+        ]
+        project.save_project()
+        p2 = DeepSVGProject(root_dir=str(tmp_path))
+        p2.load_project(project.filename)
+        assert len(p2.frames) == 3
+        assert p2.frames[0].keyframe and not p2.frames[1].keyframe
+
+    def test_compute_interpolation_fills_frames(self, session, tmp_path):
+        svg1 = SVG.unit_circle().normalize(Bbox(256)).numericalize(256)
+        svg2 = SVG.unit_square().normalize(Bbox(256)).numericalize(256)
+        project = DeepSVGProject(root_dir=str(tmp_path))
+        project.frames = [
+            Frame(0, keyframe=True, svg=svg1),
+            Frame(1), Frame(2),
+            Frame(3, keyframe=True, svg=svg2),
+        ]
+        compute_interpolation(session, project, finetune=False)
+        # in-between frames are now populated
+        assert project.frames[1].svg is not None
+        gif = project.export_to_gif(width=64)
+        assert os.path.getsize(gif) > 0
+
+    def test_finetune_runs(self, session, disk_dataset):
+        from deepsvg_tpu.training.config import TrainConfig
+
+        cfg = TrainConfig(1)
+        cfg.model_cfg = tiny_model_cfg()
+        cfg.model_args = cfg.model_cfg.get_model_args()
+        cfg.batch_size = 4
+        cfg.loader_num_workers = 1
+        cfg.warmup_steps = 2
+        cfg.get_weights = lambda step, epoch: {
+            "kl_tolerance": 0.1, "loss_kl_weight": 1.0,
+            "loss_visibility_weight": 1.0, "loss_cmd_weight": 1.0,
+            "loss_args_weight": 2.0,
+        }
+        svgs = [SVG.unit_circle().normalize(Bbox(256)).numericalize(256)]
+        new_session = finetune_model(
+            session, svgs, cfg, nb_augmentations=8, max_steps=2
+        )
+        # params actually changed
+        import jax
+
+        a = jax.tree.leaves(session.variables["params"])[0]
+        b = jax.tree.leaves(new_session.variables["params"])[0]
+        assert not np.allclose(np.asarray(a), np.asarray(b))
