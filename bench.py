@@ -2,13 +2,21 @@
 
 Measures end-to-end (encoder E1/E2 -> bottleneck -> decoder D2/D1 -> greedy
 one-shot sampling) samples/sec on the full-size hierarchical_ordered model
-(d_model 256, 4+4 layers x 2 stages, G=8, S=30 — BASELINE.md model dims).
+(d_model 256, 4+4 layers x 2 stages, G=8, S=30 — BASELINE.md model dims),
+bf16 compute with the fused Pallas attention kernel.
+
+Timing method: N iterations chained inside one jitted lax.scan (data
+dependency between steps), synchronized by fetching a scalar checksum to the
+host; per-iteration time = (t(1+N) - t(1)) / N, which cancels the
+host<->device round-trip. (block_until_ready is unreliable through the remote
+TPU relay in this environment.)
 
 North star (BASELINE.json): >=10k icons/s/chip. The reference publishes no
 numbers; ``vs_baseline`` is value / 10_000 (fraction of the north-star target).
 
 Prints ONE JSON line.
 """
+import functools
 import json
 import time
 
@@ -19,42 +27,59 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     from deepsvg_tpu.data.synthetic import generate_batch
     from deepsvg_tpu.models import ModelConfig, SVGTransformer
     from deepsvg_tpu.models.sample import one_shot_sample
 
     cfg = ModelConfig(
         encode_stages=2, decode_stages=2, use_vae=False,
-        compute_dtype="bfloat16",
+        compute_dtype="bfloat16", attention_impl="pallas",
     )
     model = SVGTransformer(cfg)
 
-    batch_size = 2048
+    batch_size = 1024
     rng = np.random.default_rng(0)
     b = generate_batch(rng, batch_size, cfg.max_num_groups, cfg.max_seq_len)
     cmds = jnp.asarray(b["commands"])
     args = jnp.asarray(b["args"])
 
-    variables = model.init({"params": jax.random.key(0)}, cmds, args, cmds, args)
-
-    @jax.jit
-    def encode_decode(params, commands, args_):
-        return one_shot_sample(model, {"params": params}, commands_enc=commands,
-                               args_enc=args_)
-
+    variables = model.init({"params": jax.random.PRNGKey(0)}, cmds, args, cmds, args)
     params = variables["params"]
-    # warmup + compile
-    out = encode_decode(params, cmds, args)
-    jax.block_until_ready(out)
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def chain(params, c, a, n):
+        """n chained encode+decode iterations; outputs feed back as inputs to
+        force sequential device execution."""
+
+        def body(carry, _):
+            c, a = carry
+            oc, oa = one_shot_sample(
+                model, {"params": params}, commands_enc=c, args_enc=a
+            )
+            c2 = jnp.concatenate([jnp.full_like(c[..., :1], 5), oc], axis=-1)
+            a2 = jnp.concatenate([jnp.full_like(a[..., :1, :], -1.0), oa], axis=-2)
+            return (c2.astype(c.dtype), a2), None
+
+        (c, a), _ = jax.lax.scan(body, (c, a), None, length=n)
+        return jnp.sum(c)
+
+    def timed(n, reps=3):
+        np.asarray(chain(params, cmds, args, n))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(chain(params, cmds, args, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = encode_decode(params, cmds, args)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    t1, tn = timed(1), timed(1 + n_iters)
+    per_iter = (tn - t1) / n_iters
+    samples_per_sec = batch_size / per_iter
 
-    samples_per_sec = batch_size * n_iters / dt
     print(json.dumps({
         "metric": "flagship_encode_decode_throughput",
         "value": round(samples_per_sec, 1),

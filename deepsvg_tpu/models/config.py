@@ -55,6 +55,11 @@ class ModelConfig:
     # numerics: activations/attention in this dtype (params stay float32)
     compute_dtype: str = "float32"
 
+    # attention backend: "xla" (training; supports dropout) or "pallas"
+    # (fused VMEM kernel — inference hot path; auto-falls back to xla when
+    # not deterministic)
+    attention_impl: str = "xla"
+
     @property
     def max_total_len(self) -> int:
         return self.max_num_groups * self.max_seq_len

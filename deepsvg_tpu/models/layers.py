@@ -29,72 +29,74 @@ def kaiming_embed_init(fan_in: int):
     return nn.initializers.normal(stddev=(2.0 / fan_in) ** 0.5)
 
 
-class MultiheadAttention(nn.Module):
-    """Fused-projection multi-head attention (reference: layers/attention.py +
-    functional.py:8-256, re-designed batch-first for XLA fusion).
+class MultiheadSelfAttention(nn.Module):
+    """Fused-QKV multi-head self-attention (reference: layers/attention.py +
+    functional.py:8-256, re-designed batch-first).
 
-    ``mask`` is an additive float mask broadcastable to
-    ``[B, n_heads, S_q, S_k]`` (0 = attend, -inf = blocked); key-padding and
-    causal masks are combined by the caller.
+    Two execution paths over the same parameters:
+    - ``impl='xla'``: einsum formulation (training path; supports
+      attention-weight dropout);
+    - ``impl='pallas'``: the fused VMEM kernel (ops/attention.py), used when
+      deterministic — the inference hot path.
+
+    ``key_pad`` is an additive float mask ``[B, S]`` (0 = attend, -inf = pad).
     """
 
     d_model: int
     n_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(
         self,
-        q: jnp.ndarray,
-        k: jnp.ndarray,
-        v: jnp.ndarray,
-        mask: Optional[jnp.ndarray] = None,
+        x: jnp.ndarray,
+        key_pad: Optional[jnp.ndarray] = None,
+        causal: bool = False,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        head_dim = self.d_model // self.n_heads
-        dense = lambda name: nn.Dense(self.d_model, dtype=self.dtype, name=name)
-        xq, xk, xv = dense("q_proj")(q), dense("k_proj")(k), dense("v_proj")(v)
+        from ..ops.attention import fused_mha, mha_reference, pick_tile_b
 
-        def split(x):  # [B, S, D] -> [B, H, S, hd]
-            b, s, _ = x.shape
-            return x.reshape(b, s, self.n_heads, head_dim).transpose(0, 2, 1, 3)
+        d = self.d_model
+        init = nn.initializers.lecun_normal()
+        wqkv = self.param("wqkv", init, (d, 3 * d), jnp.float32)
+        bqkv = self.param("bqkv", nn.initializers.zeros, (3 * d,), jnp.float32)
+        wo = self.param("wo", init, (d, d), jnp.float32)
+        bo = self.param("bo", nn.initializers.zeros, (d,), jnp.float32)
+        wqkv, bqkv = wqkv.astype(self.dtype), bqkv.astype(self.dtype)
+        wo, bo = wo.astype(self.dtype), bo.astype(self.dtype)
 
-        xq, xk, xv = split(xq), split(xk), split(xv)
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", xq * (head_dim**-0.5), xk,
-            preferred_element_type=jnp.float32,
+        b, s, _ = x.shape
+        use_pallas = self.impl == "pallas" and deterministic
+        if use_pallas:
+            mask = (
+                key_pad.astype(jnp.float32)
+                if key_pad is not None
+                else jnp.zeros((b, s), jnp.float32)
+            )
+            return fused_mha(
+                x, wqkv, bqkv, wo, bo, mask,
+                n_heads=self.n_heads, tile_b=pick_tile_b(b, s), causal=causal,
+            )
+
+        rng = (
+            self.make_rng("dropout")
+            if (not deterministic and self.dropout > 0.0)
+            else None
         )
-        if mask is not None:
-            scores = scores + mask
-        weights = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        weights = nn.Dropout(self.dropout, deterministic=deterministic)(weights)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, xv)
-        b, h, s, d = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
-        return nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
+        return mha_reference(
+            x, wqkv, bqkv, wo, bo, key_pad, self.n_heads, causal=causal,
+            dropout_rate=self.dropout if not deterministic else 0.0,
+            dropout_rng=rng,
+        )
 
 
 def key_padding_to_additive(key_padding_mask: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
-    """``[B, S_k]`` bool (True = masked) -> additive ``[B, 1, 1, S_k]`` float."""
+    """``[B, S_k]`` bool (True = masked) -> additive ``[B, S_k]`` float."""
     if key_padding_mask is None:
         return None
-    return jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, 0.0)
-
-
-def causal_additive_mask(seq_len: int) -> jnp.ndarray:
-    """Additive causal mask broadcastable to ``[B, H, S, S]``."""
-    allowed = jnp.tril(jnp.ones((seq_len, seq_len), dtype=bool))
-    return jnp.where(allowed, 0.0, -jnp.inf)[None, None, :, :]
-
-
-def combine_masks(*masks: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
-    """Sum additive attention masks, skipping Nones."""
-    out = None
-    for m in masks:
-        if m is not None:
-            out = m if out is None else out + m
-    return out
+    return jnp.where(key_padding_mask, -jnp.inf, 0.0)
 
 
 class FeedForward(nn.Module):
@@ -120,20 +122,22 @@ class EncoderLayerImproved(nn.Module):
     dropout: float
     use_label: bool = False
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(
         self,
         src: jnp.ndarray,
-        mask: Optional[jnp.ndarray] = None,
+        key_pad: Optional[jnp.ndarray] = None,
         label_emb: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
         src1 = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
-        attn = MultiheadAttention(
-            self.d_model, self.n_heads, self.dropout, self.dtype, name="self_attn"
-        )(src1, src1, src1, mask=mask, deterministic=deterministic)
+        attn = MultiheadSelfAttention(
+            self.d_model, self.n_heads, self.dropout, self.dtype, self.attn_impl,
+            name="self_attn",
+        )(src1, key_pad=key_pad, deterministic=deterministic)
         src = src + drop(attn)
 
         if self.use_label and label_emb is not None:
@@ -157,21 +161,24 @@ class DecoderLayerGlobalImproved(nn.Module):
     dropout: float
     use_label: bool = False
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(
         self,
         tgt: jnp.ndarray,
         z: jnp.ndarray,
-        mask: Optional[jnp.ndarray] = None,
+        key_pad: Optional[jnp.ndarray] = None,
+        causal: bool = False,
         label_emb: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
         tgt1 = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
-        attn = MultiheadAttention(
-            self.d_model, self.n_heads, self.dropout, self.dtype, name="self_attn"
-        )(tgt1, tgt1, tgt1, mask=mask, deterministic=deterministic)
+        attn = MultiheadSelfAttention(
+            self.d_model, self.n_heads, self.dropout, self.dtype, self.attn_impl,
+            name="self_attn",
+        )(tgt1, key_pad=key_pad, causal=causal, deterministic=deterministic)
         tgt = tgt + drop(attn)
 
         # z: [B, 1, dim_z] or [B, dim_z] — broadcast-added over sequence.
@@ -201,14 +208,15 @@ class EncoderStack(nn.Module):
     dropout: float
     use_label: bool = False
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, src, mask=None, label_emb=None, deterministic=True):
+    def __call__(self, src, key_pad=None, label_emb=None, deterministic=True):
         for i in range(self.n_layers):
             src = EncoderLayerImproved(
                 self.d_model, self.n_heads, self.dim_feedforward, self.dropout,
-                self.use_label, self.dtype, name=f"layer_{i}",
-            )(src, mask=mask, label_emb=label_emb, deterministic=deterministic)
+                self.use_label, self.dtype, self.attn_impl, name=f"layer_{i}",
+            )(src, key_pad=key_pad, label_emb=label_emb, deterministic=deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm")(src)
 
 
@@ -222,14 +230,17 @@ class DecoderStack(nn.Module):
     dropout: float
     use_label: bool = False
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, tgt, z, mask=None, label_emb=None, deterministic=True):
+    def __call__(self, tgt, z, key_pad=None, causal=False, label_emb=None,
+                 deterministic=True):
         for i in range(self.n_layers):
             tgt = DecoderLayerGlobalImproved(
                 self.d_model, self.n_heads, self.dim_feedforward, self.dropout,
-                self.use_label, self.dtype, name=f"layer_{i}",
-            )(tgt, z, mask=mask, label_emb=label_emb, deterministic=deterministic)
+                self.use_label, self.dtype, self.attn_impl, name=f"layer_{i}",
+            )(tgt, z, key_pad=key_pad, causal=causal, label_emb=label_emb,
+              deterministic=deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="norm")(tgt)
 
 

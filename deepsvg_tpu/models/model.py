@@ -32,8 +32,6 @@ from .layers import (
     DecoderStack,
     EncoderStack,
     PositionalEncodingLUT,
-    causal_additive_mask,
-    combine_masks,
     key_padding_to_additive,
 )
 
@@ -194,7 +192,7 @@ class Encoder(nn.Module):
 
         commands_f, args_f = _fold(commands), _fold(args)  # [N*G, S]
         pad = M.padding_mask(commands_f)                    # [N*G, S] float
-        key_pad = key_padding_to_additive(M.key_padding_mask(commands_f))
+        key_pad = key_padding_to_additive(M.key_padding_mask(commands_f))  # [N*G, S]
         groups_f = M.group_mask(commands_f) if use_group else None
 
         seq_len = cfg.max_seq_len if cfg.encode_stages == 2 else cfg.max_total_len
@@ -209,8 +207,9 @@ class Encoder(nn.Module):
         if cfg.model_type == "transformer":
             memory = EncoderStack(
                 cfg.n_layers, cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
-                cfg.dropout, cfg.label_condition, dtype, name="encoder",
-            )(src, mask=key_pad, label_emb=l1, deterministic=deterministic)
+                cfg.dropout, cfg.label_condition, dtype, cfg.attention_impl,
+                name="encoder",
+            )(src, key_pad=key_pad, label_emb=l1, deterministic=deterministic)
             # masked mean pool over valid (pre-EOS) positions
             z = jnp.sum(memory * pad[..., None], axis=1) / jnp.maximum(
                 jnp.sum(pad, axis=1, keepdims=True), 1.0
@@ -231,8 +230,9 @@ class Encoder(nn.Module):
             l2 = label_emb[:, None, :] if label_emb is not None else None
             memory2 = EncoderStack(
                 cfg.n_layers, cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
-                cfg.dropout, cfg.label_condition, dtype, name="hierarchical_encoder",
-            )(src2, mask=key_padding_to_additive(key_vis), label_emb=l2,
+                cfg.dropout, cfg.label_condition, dtype, cfg.attention_impl,
+                name="hierarchical_encoder",
+            )(src2, key_pad=key_padding_to_additive(key_vis), label_emb=l2,
               deterministic=deterministic)
             visf = vis.astype(memory2.dtype)
             z = jnp.sum(memory2 * visf[..., None], axis=1) / jnp.maximum(
@@ -273,7 +273,8 @@ class Decoder(nn.Module):
             )
             out = DecoderStack(
                 cfg.n_layers_decode, cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
-                cfg.dropout, cfg.label_condition, dtype, name="hierarchical_decoder",
+                cfg.dropout, cfg.label_condition, dtype, cfg.attention_impl,
+                name="hierarchical_decoder",
             )(src, z[:, None, :], label_emb=l2, deterministic=deterministic)
             hierarch_logits, z_groups = HierarchFCN(
                 cfg.dim_z, dtype, name="hierarchical_fcn"
@@ -297,15 +298,13 @@ class Decoder(nn.Module):
                 cfg, cfg.max_total_len, rel_args=cfg.rel_targets, use_group=True,
                 group_len=cfg.max_total_len, name="embedding",
             )(commands_f, args_f, groups_f, deterministic=deterministic)
-            mask = combine_masks(
-                causal_additive_mask(s_dec),
-                key_padding_to_additive(M.key_padding_mask(commands_f)),
-            )
+            key_pad = key_padding_to_additive(M.key_padding_mask(commands_f))
             if cfg.model_type == "transformer":
                 out = DecoderStack(
                     cfg.n_layers_decode, cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
-                    cfg.dropout, cfg.label_condition, dtype, name="decoder",
-                )(src, zb[:, None, :], mask=mask, label_emb=lb,
+                    cfg.dropout, cfg.label_condition, dtype, cfg.attention_impl,
+                    name="decoder",
+                )(src, zb[:, None, :], key_pad=key_pad, causal=True, label_emb=lb,
                   deterministic=deterministic)
             else:  # lstm
                 out = LSTMDecoder(cfg.d_model, dtype, name="decoder")(src, zb)
@@ -316,7 +315,8 @@ class Decoder(nn.Module):
             )
             out = DecoderStack(
                 cfg.n_layers_decode, cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
-                cfg.dropout, cfg.label_condition, dtype, name="decoder",
+                cfg.dropout, cfg.label_condition, dtype, cfg.attention_impl,
+                name="decoder",
             )(src, zb[:, None, :], label_emb=lb, deterministic=deterministic)
 
         cmd_logits, args_logits = FCN(
