@@ -354,21 +354,31 @@ class SVGPath:
         return segments
 
     def simplify(self, tolerance=0.1, epsilon=0.1, angle_threshold=179.0,
-                 force_smooth=False) -> "SVGPath":
-        """RDP on polyline stretches + Schneider fitting on curve stretches."""
+                 force_smooth=False, use_native=True) -> "SVGPath":
+        """RDP on polyline stretches + Schneider fitting on curve stretches.
+
+        Dispatches to the C++ engine (deepsvg_tpu.native) when available;
+        falls back to the vectorized numpy implementation."""
         points = np.array(
             [self.start_pos.pos, *(c.end_pos.pos for c in self.path_commands)]
         )
+
+        fit_fn, rdp_fn = fit_cubics, rdp
+        if use_native:
+            from .. import native
+
+            if native.available():
+                fit_fn, rdp_fn = native.fit_cubics, native.rdp
 
         pieces: list = []
 
         def emit_fit(first, last):
             if last > first:
-                fit_cubics(points[first : last + 1], tolerance, out=pieces)
+                fit_fn(points[first : last + 1], tolerance, out=pieces)
 
         def emit_rdp(first, last):
             if last > first:
-                rdp(points[first : last + 1], epsilon, out=pieces)
+                rdp_fn(points[first : last + 1], epsilon, out=pieces)
 
         segments = self._curve_segments(angle_threshold)
         if force_smooth:
