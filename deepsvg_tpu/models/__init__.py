@@ -11,6 +11,7 @@ from .loss import svg_loss
 from .model import SVGTransformer
 from .sample import (
     autoregressive_sample,
+    autoregressive_sample_cached,
     flatten_groups_np,
     greedy_sample,
     one_shot_sample,
@@ -20,6 +21,7 @@ __all__ = [
     "ModelConfig", "SVGTransformer", "svg_loss",
     "hierarchical", "hierarchical_self_matching", "one_stage_one_shot",
     "sketchformer", "sketchrnn",
-    "autoregressive_sample", "flatten_groups_np", "greedy_sample",
+    "autoregressive_sample", "autoregressive_sample_cached",
+    "flatten_groups_np", "greedy_sample",
     "one_shot_sample",
 ]

@@ -34,6 +34,7 @@ class SVGEmbedding(nn.Module):
         args: jnp.ndarray,
         groups: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        pos_index=None,
     ) -> jnp.ndarray:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -70,7 +71,7 @@ class SVGEmbedding(nn.Module):
 
         return PositionalEncodingLUT(
             self.seq_len + 2, cfg.d_model, cfg.dropout, dtype, name="pos_encoding"
-        )(src, deterministic=deterministic)
+        )(src, deterministic=deterministic, index=pos_index)
 
 
 class ConstEmbedding(nn.Module):

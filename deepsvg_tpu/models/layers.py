@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -55,6 +56,8 @@ class MultiheadSelfAttention(nn.Module):
         key_pad: Optional[jnp.ndarray] = None,
         causal: bool = False,
         deterministic: bool = True,
+        decode_index=None,
+        decode_len: Optional[int] = None,
     ) -> jnp.ndarray:
         from ..ops.attention import fused_mha, mha_reference, pick_tile_b
 
@@ -68,6 +71,45 @@ class MultiheadSelfAttention(nn.Module):
         wo, bo = wo.astype(self.dtype), bo.astype(self.dtype)
 
         b, s, _ = x.shape
+
+        if decode_index is not None:
+            # KV-cached single-token step: x [B, 1, D], attend over the cache
+            # prefix [0, decode_index]. key_pad [B, L] masks EOS'd positions.
+            h, hd = self.n_heads, d // self.n_heads
+            length = decode_len
+            qkv = (x.reshape(b, d) @ wqkv + bqkv)  # [B, 3D]
+            q, k_t, v_t = qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :]
+
+            ck = self.variable(
+                "cache", "k", lambda: jnp.zeros((b, length, d), self.dtype)
+            )
+            cv = self.variable(
+                "cache", "v", lambda: jnp.zeros((b, length, d), self.dtype)
+            )
+            ck.value = jax.lax.dynamic_update_index_in_dim(
+                ck.value, k_t.astype(self.dtype), decode_index, axis=1
+            )
+            cv.value = jax.lax.dynamic_update_index_in_dim(
+                cv.value, v_t.astype(self.dtype), decode_index, axis=1
+            )
+
+            qh = q.reshape(b, h, hd) * (hd ** -0.5)
+            kh = ck.value.reshape(b, length, h, hd)
+            scores = jnp.einsum(
+                "bhd,bkhd->bhk", qh, kh, preferred_element_type=jnp.float32
+            )  # [B, H, L]
+            pos = jnp.arange(length)
+            scores = jnp.where(
+                (pos <= decode_index)[None, None, :], scores, -jnp.inf
+            )
+            if key_pad is not None:
+                scores = scores + key_pad[:, None, :]
+            p = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            vh = cv.value.reshape(b, length, h, hd)
+            ctx = jnp.einsum("bhk,bkhd->bhd", p, vh).reshape(b, d)
+            out = (ctx @ wo + bo).astype(self.dtype)
+            return out.reshape(b, 1, d)
+
         use_pallas = self.impl == "pallas" and deterministic
         if use_pallas:
             mask = (
@@ -172,13 +214,16 @@ class DecoderLayerGlobalImproved(nn.Module):
         causal: bool = False,
         label_emb: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        decode_index=None,
+        decode_len: Optional[int] = None,
     ) -> jnp.ndarray:
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
         tgt1 = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
         attn = MultiheadSelfAttention(
             self.d_model, self.n_heads, self.dropout, self.dtype, self.attn_impl,
             name="self_attn",
-        )(tgt1, key_pad=key_pad, causal=causal, deterministic=deterministic)
+        )(tgt1, key_pad=key_pad, causal=causal, deterministic=deterministic,
+          decode_index=decode_index, decode_len=decode_len)
         tgt = tgt + drop(attn)
 
         # z: [B, 1, dim_z] or [B, dim_z] — broadcast-added over sequence.
@@ -234,13 +279,14 @@ class DecoderStack(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, z, key_pad=None, causal=False, label_emb=None,
-                 deterministic=True):
+                 deterministic=True, decode_index=None, decode_len=None):
         for i in range(self.n_layers):
             tgt = DecoderLayerGlobalImproved(
                 self.d_model, self.n_heads, self.dim_feedforward, self.dropout,
                 self.use_label, self.dtype, self.attn_impl, name=f"layer_{i}",
             )(tgt, z, key_pad=key_pad, causal=causal, label_emb=label_emb,
-              deterministic=deterministic)
+              deterministic=deterministic, decode_index=decode_index,
+              decode_len=decode_len)
         return nn.LayerNorm(dtype=self.dtype, name="norm")(tgt)
 
 
@@ -254,10 +300,17 @@ class PositionalEncodingLUT(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 index=None) -> jnp.ndarray:
         table = self.param(
             "pos_embed", kaiming_embed_init(self.d_model), (self.max_len, self.d_model)
         )
-        s = x.shape[-2]
-        x = x + table[:s].astype(self.dtype)
+        if index is not None:
+            # single-position lookup (KV-cached decoding): x [B, 1, D]
+            x = x + jax.lax.dynamic_slice_in_dim(
+                table.astype(self.dtype), index, 1, axis=0
+            )[None]
+        else:
+            s = x.shape[-2]
+            x = x + table[:s].astype(self.dtype)
         return nn.Dropout(self.dropout, deterministic=deterministic)(x)

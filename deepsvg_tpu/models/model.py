@@ -255,7 +255,11 @@ class Decoder(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, z, commands=None, args=None, label=None, deterministic=True):
+    def __call__(self, z, commands=None, args=None, label=None, deterministic=True,
+                 decode_index=None, decode_groups=None, decode_key_pad=None):
+        """``decode_index`` switches to the KV-cached single-token mode:
+        ``commands/args`` then hold only the token at that position
+        (``[N, G, 1]``) and ``decode_groups`` its running moveto count."""
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
         n = z.shape[0]
@@ -292,22 +296,37 @@ class Decoder(nn.Module):
 
         if cfg.pred_mode == "autoregressive":
             commands_f, args_f = _fold(commands), _fold(args)  # [N*G, S_dec]
-            s_dec = commands_f.shape[1]
-            groups_f = M.group_mask(commands_f)
-            src = SVGEmbedding(
-                cfg, cfg.max_total_len, rel_args=cfg.rel_targets, use_group=True,
-                group_len=cfg.max_total_len, name="embedding",
-            )(commands_f, args_f, groups_f, deterministic=deterministic)
-            key_pad = key_padding_to_additive(M.key_padding_mask(commands_f))
-            if cfg.model_type == "transformer":
+            if decode_index is not None:
+                # KV-cached token step: embed the single token at decode_index
+                groups_f = _fold(decode_groups)
+                src = SVGEmbedding(
+                    cfg, cfg.max_total_len, rel_args=cfg.rel_targets, use_group=True,
+                    group_len=cfg.max_total_len, name="embedding",
+                )(commands_f, args_f, groups_f, deterministic=deterministic,
+                  pos_index=decode_index)
                 out = DecoderStack(
                     cfg.n_layers_decode, cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
                     cfg.dropout, cfg.label_condition, dtype, cfg.attention_impl,
                     name="decoder",
-                )(src, zb[:, None, :], key_pad=key_pad, causal=True, label_emb=lb,
-                  deterministic=deterministic)
-            else:  # lstm
-                out = LSTMDecoder(cfg.d_model, dtype, name="decoder")(src, zb)
+                )(src, zb[:, None, :], key_pad=_fold(decode_key_pad),
+                  label_emb=lb, deterministic=deterministic,
+                  decode_index=decode_index, decode_len=cfg.max_total_len + 1)
+            else:
+                groups_f = M.group_mask(commands_f)
+                src = SVGEmbedding(
+                    cfg, cfg.max_total_len, rel_args=cfg.rel_targets, use_group=True,
+                    group_len=cfg.max_total_len, name="embedding",
+                )(commands_f, args_f, groups_f, deterministic=deterministic)
+                key_pad = key_padding_to_additive(M.key_padding_mask(commands_f))
+                if cfg.model_type == "transformer":
+                    out = DecoderStack(
+                        cfg.n_layers_decode, cfg.d_model, cfg.n_heads,
+                        cfg.dim_feedforward, cfg.dropout, cfg.label_condition,
+                        dtype, cfg.attention_impl, name="decoder",
+                    )(src, zb[:, None, :], key_pad=key_pad, causal=True,
+                      label_emb=lb, deterministic=deterministic)
+                else:  # lstm
+                    out = LSTMDecoder(cfg.d_model, dtype, name="decoder")(src, zb)
         else:  # one_shot
             seq_len = cfg.max_seq_len + 1 if cfg.decode_stages == 2 else cfg.max_total_len + 1
             src = ConstEmbedding(cfg, seq_len, name="embedding")(
@@ -350,6 +369,17 @@ class SVGTransformer(nn.Module):
             else:
                 self.bottleneck = Bottleneck(cfg.dim_z, dtype)
         self.decoder = Decoder(cfg)
+
+    def decode_step(self, z, cmd_t, args_t, groups_t, decode_index,
+                    decode_key_pad=None, label=None):
+        """One KV-cached autoregressive decoder step (jit under
+        ``mutable=['cache']``): token at ``decode_index`` in, logits for the
+        next position out. ``groups_t`` is the running moveto count."""
+        return self.decoder(
+            z, cmd_t, args_t, label, deterministic=True,
+            decode_index=decode_index, decode_groups=groups_t,
+            decode_key_pad=decode_key_pad,
+        )
 
     def encode(self, commands, args, label=None, deterministic=True, sample_vae=True):
         """Input -> latent ``z [N, dim_z]`` (+ (mu, logsigma) if VAE)."""

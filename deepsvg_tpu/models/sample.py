@@ -99,6 +99,80 @@ def one_shot_sample(
     return _finalize_args(cfg, commands_y, args_y)
 
 
+def autoregressive_sample_cached(
+    model: SVGTransformer,
+    variables,
+    z: jnp.ndarray,
+    label: Optional[jnp.ndarray] = None,
+    temperature: float = 0.0001,
+    key: Optional[jax.Array] = None,
+):
+    """KV-cached autoregressive greedy decode: a jitted ``lax.scan`` where
+    each step embeds ONE token and attends over the per-layer key/value cache
+    — O(L) total attention work per position instead of the reference's full
+    re-forward per token (model.py:430-436).
+
+    Key-padding parity: positions at/after the first generated EOS are masked
+    out of the cache exactly as the reference masks its growing prefix.
+    Returns ``(commands [N, 1, L], args [N, 1, L, n_args])`` without SOS.
+    """
+    cfg = model.cfg
+    n = z.shape[0]
+    length = cfg.max_total_len + 1
+    params = variables["params"]
+
+    buf_cmds = jnp.full((n, 1, length), CMD_EOS, jnp.int32).at[..., 0].set(CMD_SOS)
+    buf_args = jnp.full((n, 1, length, cfg.n_args), float(PAD_VAL), jnp.float32)
+    key_pad = jnp.zeros((n, 1, length), jnp.float32)
+    eos_seen = jnp.zeros((n, 1), bool)
+    gcount = jnp.zeros((n, 1), jnp.int32)
+
+    def one_step(cache, cmds, args, kp, gcount, eos_seen, i, k):
+        cmd_t = jax.lax.dynamic_slice_in_dim(cmds, i, 1, axis=2)       # [N,1,1]
+        args_t = jax.lax.dynamic_slice_in_dim(args, i, 1, axis=2)      # [N,1,1,A]
+        gcount = gcount + (cmd_t[..., 0] == CMD_M).astype(jnp.int32)
+        mvars = {"params": params}
+        if cache is not None:
+            mvars["cache"] = cache
+        (cmd_logits, args_logits, _), updated = model.apply(
+            mvars, z, cmd_t, args_t, gcount[..., None], i, kp, label,
+            method=SVGTransformer.decode_step, mutable=["cache"],
+        )
+        if k is None:
+            kc = ka = knext = None
+        else:
+            k, kc, ka = jax.random.split(k, 3)
+            knext = k
+        cmd_new = sample_categorical(kc, cmd_logits[:, :, 0], temperature)
+        args_new = sample_categorical(ka, args_logits[:, :, 0], temperature) - 1
+        _, args_new = make_valid(cmd_new, args_new.astype(jnp.float32))
+        eos_seen = eos_seen | (cmd_new == CMD_EOS)
+        kp = jax.lax.dynamic_update_index_in_dim(
+            kp, jnp.where(eos_seen, -jnp.inf, 0.0), i + 1, axis=2
+        )
+        cmds = jax.lax.dynamic_update_index_in_dim(cmds, cmd_new, i + 1, axis=2)
+        args = jax.lax.dynamic_update_index_in_dim(args, args_new, i + 1, axis=2)
+        return updated["cache"], cmds, args, kp, gcount, eos_seen, knext
+
+    # step 0 outside the scan creates the cache collection
+    cache, buf_cmds, buf_args, key_pad, gcount, eos_seen, key = one_step(
+        None, buf_cmds, buf_args, key_pad, gcount, eos_seen, 0, key
+    )
+
+    def step(carry, i):
+        cache, cmds, args, kp, gcount, eos_seen, k = carry
+        return one_step(cache, cmds, args, kp, gcount, eos_seen, i, k), None
+
+    (cache, buf_cmds, buf_args, *_), _ = jax.lax.scan(
+        step, (cache, buf_cmds, buf_args, key_pad, gcount, eos_seen, key),
+        jnp.arange(1, cfg.max_total_len),
+    )
+
+    commands_y = buf_cmds[..., 1:]
+    args_y = buf_args[..., 1:, :]
+    return _finalize_args(cfg, commands_y, args_y)
+
+
 def autoregressive_sample(
     model: SVGTransformer,
     variables,
@@ -111,8 +185,9 @@ def autoregressive_sample(
     ``max_total_len`` buffer (replacing model.py:424-438's Python loop).
 
     Each step runs the decoder over the full buffer under a causal mask and
-    reads the logits at the current position. Returns
-    ``(commands [N, 1, L], args [N, 1, L, n_args])`` without the SOS token.
+    reads the logits at the current position. See
+    :func:`autoregressive_sample_cached` for the O(L) KV-cached variant.
+    Returns ``(commands [N, 1, L], args [N, 1, L, n_args])`` without SOS.
     """
     cfg = model.cfg
     n = z.shape[0]
@@ -174,8 +249,8 @@ def greedy_sample(
             variables, commands_enc, args_enc, None, None, label=label,
             encode_mode=True, deterministic=True, rngs=rngs,
         )
-    return autoregressive_sample(model, variables, z, label=label,
-                                 temperature=temperature, key=key)
+    return autoregressive_sample_cached(model, variables, z, label=label,
+                                        temperature=temperature, key=key)
 
 
 def flatten_groups_np(commands: np.ndarray, args: np.ndarray):

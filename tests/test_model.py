@@ -268,3 +268,41 @@ class TestSampling:
         # latent decode round trip
         out_c, _ = one_shot_sample(model, variables, z=z)
         assert out_c.shape == (2, cfg.max_num_groups, cfg.max_seq_len + 1)
+
+
+class TestKVCache:
+    def test_cached_matches_full_ar(self, rng):
+        """KV-cached greedy decode must bit-match the full re-forward scan."""
+        from deepsvg_tpu.models.sample import (
+            autoregressive_sample,
+            autoregressive_sample_cached,
+        )
+
+        cfg = small_cfg(encode_stages=1, decode_stages=1, use_vae=False,
+                        pred_mode="autoregressive", rel_targets=True,
+                        max_num_groups=2, max_seq_len=5)
+        cmds, args_rel = make_batch(rng, cfg, grouped=True, rel=True)
+        rng2 = np.random.default_rng(7)
+        _, args_abs = make_batch(rng2, cfg, grouped=True, rel=False)
+        model, variables, _ = init_and_forward_enc_dec(cfg, cmds, args_abs, cmds, args_rel)
+        z = model.apply(variables, cmds, args_abs, None, None, encode_mode=True)
+        c1, a1 = autoregressive_sample(model, variables, z)
+        c2, a2 = autoregressive_sample_cached(model, variables, z)
+        assert (np.asarray(c1) == np.asarray(c2)).all()
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
+
+    def test_cached_absolute_targets(self, rng):
+        from deepsvg_tpu.models.sample import (
+            autoregressive_sample,
+            autoregressive_sample_cached,
+        )
+
+        cfg = small_cfg(encode_stages=1, decode_stages=1, use_vae=False,
+                        pred_mode="autoregressive", rel_targets=False,
+                        max_num_groups=2, max_seq_len=5)
+        cmds, args = make_batch(rng, cfg, grouped=True)
+        model, variables, _ = init_and_forward(cfg, cmds, args)
+        z = model.apply(variables, cmds, args, None, None, encode_mode=True)
+        c1, a1 = autoregressive_sample(model, variables, z)
+        c2, a2 = autoregressive_sample_cached(model, variables, z)
+        assert (np.asarray(c1) == np.asarray(c2)).all()
