@@ -1,7 +1,16 @@
 """Input embeddings (reference: model/model.py:16-89), batch-first.
 
 ``SVGEmbedding`` fuses the command embedding, the per-argument embedding
-(11 args x 64 dims -> one Linear to d_model) and a learned positional table;
+(11 args x 64 dims -> one Linear to d_model), the optional group-index
+embedding and a learned positional table. Two execution paths over the same
+parameters:
+
+- XLA: gathers + dense (training; supports dropout and single-token decode);
+- Pallas (``attention_impl='pallas'``, deterministic): the argument
+  embedding+projection folds into per-slot ``[vocab, D]`` tables and the whole
+  sum is computed as one-hot matmuls in VMEM (ops/embedding.py) — ~8x faster
+  than the gather lowering on TPU.
+
 ``ConstEmbedding`` provides the learned positional queries used by the
 one-shot decoders; ``LabelEmbedding`` conditions on a class label.
 """
@@ -10,6 +19,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .config import ModelConfig
@@ -38,40 +48,74 @@ class SVGEmbedding(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
-
-        cmd_emb = nn.Embed(
-            cfg.n_commands, cfg.d_model,
-            embedding_init=kaiming_embed_init(cfg.d_model),
-            dtype=dtype, name="command_embed",
-        )(commands.astype(jnp.int32))
-
-        args_vocab = 2 * cfg.args_dim if self.rel_args else cfg.args_dim + 1
-        arg_emb = nn.Embed(
-            args_vocab, 64,
-            embedding_init=kaiming_embed_init(64),
-            dtype=dtype, name="arg_embed",
-        )((args + 1).astype(jnp.int32))  # +1: PAD_VAL -1 -> index 0
         b, s = commands.shape
-        arg_emb = arg_emb.reshape(b, s, 64 * cfg.n_args)
-        arg_emb = nn.Dense(
-            cfg.d_model,
-            kernel_init=nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
-            dtype=dtype, name="embed_fcn",
-        )(arg_emb)
+        args_vocab = 2 * cfg.args_dim if self.rel_args else cfg.args_dim + 1
+        max_len = self.seq_len + 2
 
-        src = cmd_emb + arg_emb
-
+        cmd_table = self.param(
+            "command_embed", kaiming_embed_init(cfg.d_model),
+            (cfg.n_commands, cfg.d_model),
+        )
+        arg_table = self.param(
+            "arg_embed", kaiming_embed_init(64), (args_vocab, 64)
+        )
+        fcn_kernel = self.param(
+            "embed_fcn_kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+            (64 * cfg.n_args, cfg.d_model),
+        )
+        fcn_bias = self.param("embed_fcn_bias", nn.initializers.zeros, (cfg.d_model,))
+        group_table = None
         if self.use_group:
             group_len = self.group_len if self.group_len is not None else cfg.max_num_groups
-            src = src + nn.Embed(
-                group_len + 2, cfg.d_model,
-                embedding_init=kaiming_embed_init(cfg.d_model),
-                dtype=dtype, name="group_embed",
-            )(groups.astype(jnp.int32))
+            group_table = self.param(
+                "group_embed", kaiming_embed_init(cfg.d_model),
+                (group_len + 2, cfg.d_model),
+            )
+        pos_table = self.param(
+            "pos_embed", kaiming_embed_init(cfg.d_model), (max_len, cfg.d_model)
+        )
 
-        return PositionalEncodingLUT(
-            self.seq_len + 2, cfg.d_model, cfg.dropout, dtype, name="pos_encoding"
-        )(src, deterministic=deterministic, index=pos_index)
+        use_pallas = (
+            cfg.attention_impl == "pallas"
+            and deterministic
+            and pos_index is None
+        )
+        if use_pallas:
+            from ..ops.attention import pick_tile_b
+            from ..ops.embedding import fold_arg_tables, fused_embedding
+
+            arg_tables = fold_arg_tables(
+                arg_table.astype(dtype), fcn_kernel.astype(dtype),
+                fcn_bias.astype(dtype), cfg.n_args,
+            )
+            return fused_embedding(
+                commands, args, groups if self.use_group else None,
+                cmd_table.astype(dtype), arg_tables,
+                group_table.astype(dtype) if group_table is not None else None,
+                pos_table[:s].astype(dtype),
+                tile_b=pick_tile_b(b, s), use_group=self.use_group,
+                out_dtype=dtype,
+            )
+
+        cmd_emb = jnp.take(cmd_table.astype(dtype), commands.astype(jnp.int32), axis=0)
+        arg_emb = jnp.take(
+            arg_table.astype(dtype), (args + 1).astype(jnp.int32), axis=0
+        ).reshape(b, s, 64 * cfg.n_args)
+        src = cmd_emb + arg_emb @ fcn_kernel.astype(dtype) + fcn_bias.astype(dtype)
+
+        if self.use_group:
+            src = src + jnp.take(
+                group_table.astype(dtype), groups.astype(jnp.int32), axis=0
+            )
+
+        if pos_index is not None:
+            src = src + jax.lax.dynamic_slice_in_dim(
+                pos_table.astype(dtype), pos_index, 1, axis=0
+            )[None]
+        else:
+            src = src + pos_table[:s].astype(dtype)
+        return nn.Dropout(cfg.dropout, deterministic=deterministic)(src)
 
 
 class ConstEmbedding(nn.Module):

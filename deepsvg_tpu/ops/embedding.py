@@ -1,0 +1,137 @@
+"""Fused SVG-token embedding kernel (Pallas TPU).
+
+The model's input embedding is a sum of lookups: command embedding + 11
+per-argument embeddings (projected by one Linear) + optional group embedding +
+positional table. As gathers, the argument lookup materializes a
+``[B·S, 11, 64]`` intermediate and lowers to slow TPU dynamic-gathers — it
+costs as much as several transformer layers.
+
+Because everything downstream of the lookups is linear, the argument
+embedding+projection folds into 11 fused tables ``T_i = arg_embed @ W_fcn_i``
+of shape ``[257, D]``, and a lookup becomes a one-hot matmul — which the MXU
+executes at full rate. The kernel builds each one-hot block in VMEM via iota
+comparison (never touching HBM) and accumulates all terms in one pass:
+
+    out[row] = CmdT[cmd] + sum_i T_i[arg_i + 1] (+ GroupT[gid]) + PosT[s]
+
+Index operands are passed pre-flattened ``[B·S, 1]`` (args transposed to
+``[n_args, B·S, 1]``) so every in-kernel tensor stays in natural 2D layout —
+Mosaic cannot relayout lane dims into sublanes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _embed_kernel(
+    cmd_ref, args_ref, groups_ref, cmd_t_ref, arg_t_ref, group_t_ref, pos_t_ref,
+    out_ref, *, tile_b: int, seq_len: int, d_model: int, n_args: int,
+    args_vocab: int, n_commands: int, use_group: bool, group_vocab: int,
+):
+    rows = tile_b * seq_len
+    f32 = jnp.float32
+
+    cmd = cmd_ref[:]  # [rows, 1]
+    col7 = jax.lax.broadcasted_iota(jnp.int32, (rows, n_commands), 1)
+    oh_cmd = (col7 == cmd).astype(cmd_t_ref.dtype)
+    acc = jnp.dot(oh_cmd, cmd_t_ref[:], preferred_element_type=f32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, args_vocab), 1)
+    for i in range(n_args):
+        a = args_ref[i] + 1  # [rows, 1]; PAD -1 -> 0
+        oh = (col == a).astype(arg_t_ref.dtype)
+        table_i = arg_t_ref[i * args_vocab : (i + 1) * args_vocab, :]
+        acc = acc + jnp.dot(oh, table_i, preferred_element_type=f32)
+
+    if use_group:
+        g = groups_ref[:]  # [rows, 1]
+        colg = jax.lax.broadcasted_iota(jnp.int32, (rows, group_vocab), 1)
+        oh_g = (colg == g).astype(group_t_ref.dtype)
+        acc = acc + jnp.dot(oh_g, group_t_ref[:], preferred_element_type=f32)
+
+    # positional term: PosT [S, D] repeated for each of the tile_b sequences
+    pos = pos_t_ref[:].astype(f32)  # [S, D]
+    acc = acc + jnp.concatenate([pos] * tile_b, axis=0)
+    out_ref[:] = acc.astype(out_ref.dtype).reshape(tile_b, seq_len, d_model)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_b", "use_group", "interpret", "out_dtype"),
+)
+def fused_embedding(
+    commands: jnp.ndarray,     # [B, S] int
+    args: jnp.ndarray,         # [B, S, n_args] (PAD_VAL -1 based)
+    groups,                    # [B, S] int or None
+    cmd_table: jnp.ndarray,    # [n_commands, D]
+    arg_tables: jnp.ndarray,   # [n_args * args_vocab, D] (fused with the FCN)
+    group_table,               # [group_vocab, D] or None
+    pos_table: jnp.ndarray,    # [S, D]
+    tile_b: int = 8,
+    use_group: bool = False,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, s = commands.shape
+    n_args = args.shape[-1]
+    d = cmd_table.shape[-1]
+    args_vocab = arg_tables.shape[0] // n_args
+    rows = tile_b * s
+    if jax.default_backend() == "cpu":
+        interpret = True
+
+    if groups is None:
+        groups = jnp.zeros((b, s), jnp.int32)
+    if group_table is None:
+        group_table = jnp.zeros((8, d), cmd_table.dtype)
+    group_vocab = group_table.shape[0]
+
+    # flatten index operands to lane-1 2D layouts (see module docstring)
+    cmd_flat = commands.astype(jnp.int32).reshape(b * s, 1)
+    args_t = args.astype(jnp.int32).reshape(b * s, n_args).T.reshape(n_args, b * s, 1)
+    groups_flat = groups.astype(jnp.int32).reshape(b * s, 1)
+
+    kernel = functools.partial(
+        _embed_kernel, tile_b=tile_b, seq_len=s, d_model=d, n_args=n_args,
+        args_vocab=args_vocab, n_commands=cmd_table.shape[0],
+        use_group=use_group, group_vocab=group_vocab,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, s, d), out_dtype),
+        grid=(b // tile_b,),
+        in_specs=[
+            pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_args, rows, 1), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(cmd_table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(arg_tables.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(group_table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(pos_table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_b, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(cmd_flat, args_t, groups_flat, cmd_table, arg_tables, group_table, pos_table)
+
+
+def fold_arg_tables(arg_embed: jnp.ndarray, fcn_kernel: jnp.ndarray,
+                    fcn_bias: jnp.ndarray, n_args: int) -> jnp.ndarray:
+    """Fold ``embed_fcn(concat_i(arg_embed[a_i]))`` into per-slot tables:
+    ``T_i = arg_embed @ W[64*i:64*(i+1)]``; the bias is spread onto slot 0.
+
+    arg_embed: [vocab, 64]; fcn_kernel: [64*n_args, D]; returns
+    ``[n_args*vocab, D]``.
+    """
+    vocab, e = arg_embed.shape
+    tables = []
+    for i in range(n_args):
+        t = arg_embed @ fcn_kernel[e * i : e * (i + 1)]
+        if i == 0:
+            t = t + fcn_bias[None, :]
+        tables.append(t)
+    return jnp.concatenate(tables, axis=0)

@@ -50,6 +50,22 @@ def shard_batch(batch: dict, mesh: Mesh, data_axis: str = "data") -> dict:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def global_batch_from_local(batch: dict, mesh: Mesh, data_axis: str = "data") -> dict:
+    """Multi-host (DCN) input pipeline: each process contributes its local
+    shard of the global batch (``jax.make_array_from_process_local_data``).
+
+    On a single host this degrades to :func:`shard_batch`. Per-host loaders
+    should feed disjoint index ranges (e.g. ``indices[process_index::count]``).
+    """
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh, data_axis)
+    sharding = batch_sharding(mesh, data_axis)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )
+
+
 def make_parallel_train_step(model, optimizer, model_args, mesh: Mesh,
                              data_axis: str = "data"):
     """Jit the train step with explicit shardings: state replicated, batch
