@@ -175,7 +175,7 @@ class EncoderLayerImproved(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        src1 = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+        src1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
         attn = MultiheadSelfAttention(
             self.d_model, self.n_heads, self.dropout, self.dtype, self.attn_impl,
             name="self_attn",
@@ -186,7 +186,7 @@ class EncoderLayerImproved(nn.Module):
             inj = nn.Dense(self.d_model, dtype=self.dtype, name="linear_global2")(label_emb)
             src = src + drop(inj)
 
-        src1 = nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+        src1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
         ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout, self.dtype,
                          name="ff")(src1, deterministic)
         return src + drop(ff)
@@ -218,7 +218,7 @@ class DecoderLayerGlobalImproved(nn.Module):
         decode_len: Optional[int] = None,
     ) -> jnp.ndarray:
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        tgt1 = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+        tgt1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
         attn = MultiheadSelfAttention(
             self.d_model, self.n_heads, self.dropout, self.dtype, self.attn_impl,
             name="self_attn",
@@ -236,7 +236,7 @@ class DecoderLayerGlobalImproved(nn.Module):
             inj2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear_global2")(label_emb)
             tgt = tgt + drop(inj2)
 
-        tgt1 = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+        tgt1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
         ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout, self.dtype,
                          name="ff")(tgt1, deterministic)
         return tgt + drop(ff)
@@ -262,7 +262,7 @@ class EncoderStack(nn.Module):
                 self.d_model, self.n_heads, self.dim_feedforward, self.dropout,
                 self.use_label, self.dtype, self.attn_impl, name=f"layer_{i}",
             )(src, key_pad=key_pad, label_emb=label_emb, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(src)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(src)
 
 
 class DecoderStack(nn.Module):
@@ -287,7 +287,7 @@ class DecoderStack(nn.Module):
             )(tgt, z, key_pad=key_pad, causal=causal, label_emb=label_emb,
               deterministic=deterministic, decode_index=decode_index,
               decode_len=decode_len)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(tgt)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(tgt)
 
 
 class PositionalEncodingLUT(nn.Module):
