@@ -9,11 +9,14 @@ These reproduce the reference's "improved" (pre-LN) layer semantics
   ``z`` injected as a per-layer learned linear broadcast (NO cross-attention;
   improved_transformer.py:97-141 — the architecturally unusual bit of DeepSVG).
 
-Attention is a hand-rolled fused-projection MHA so the same module serves
-training (full-sequence) and KV-cached autoregressive decoding. Everything is
-batch-first; the reference's seq-first layout and ``_pack_group_batch``
-permutes (utils/utils.py:20-49) are replaced by plain leading-axis reshapes
-that XLA handles as no-op layout changes.
+Each layer owns its parameters directly (flat names) and executes through one
+of three paths over the same tree:
+
+- **fused** (``attn_impl='pallas'``, deterministic, no label): the whole layer
+  — LN1, attention, residual, [latent injection], LN2, FF, residual — as ONE
+  Pallas kernel (ops/layer.py), removing every intermediate HBM round-trip;
+- **XLA**: plain jnp ops (training path; attention-weight + residual dropout);
+- **cached decode**: KV-cached single-token step for autoregressive sampling.
 """
 from __future__ import annotations
 
@@ -30,108 +33,21 @@ def kaiming_embed_init(fan_in: int):
     return nn.initializers.normal(stddev=(2.0 / fan_in) ** 0.5)
 
 
-class MultiheadSelfAttention(nn.Module):
-    """Fused-QKV multi-head self-attention (reference: layers/attention.py +
-    functional.py:8-256, re-designed batch-first).
+def _ln_params_init(key, shape, dtype=jnp.float32):
+    """Stacked LayerNorm params [2, D]: row 0 scale (ones), row 1 bias (zeros)."""
+    del key
+    return jnp.stack([jnp.ones(shape[1:], dtype), jnp.zeros(shape[1:], dtype)])
 
-    Two execution paths over the same parameters:
-    - ``impl='xla'``: einsum formulation (training path; supports
-      attention-weight dropout);
-    - ``impl='pallas'``: the fused VMEM kernel (ops/attention.py), used when
-      deterministic — the inference hot path.
 
-    ``key_pad`` is an additive float mask ``[B, S]`` (0 = attend, -inf = pad).
-    """
-
-    d_model: int
-    n_heads: int
-    dropout: float = 0.0
-    dtype: jnp.dtype = jnp.float32
-    impl: str = "xla"
-
-    @nn.compact
-    def __call__(
-        self,
-        x: jnp.ndarray,
-        key_pad: Optional[jnp.ndarray] = None,
-        causal: bool = False,
-        deterministic: bool = True,
-        decode_index=None,
-        decode_len: Optional[int] = None,
-    ) -> jnp.ndarray:
-        from ..ops.attention import fused_mha, mha_reference, pick_tile_b
-
-        d = self.d_model
-        init = nn.initializers.lecun_normal()
-        wqkv = self.param("wqkv", init, (d, 3 * d), jnp.float32)
-        bqkv = self.param("bqkv", nn.initializers.zeros, (3 * d,), jnp.float32)
-        wo = self.param("wo", init, (d, d), jnp.float32)
-        bo = self.param("bo", nn.initializers.zeros, (d,), jnp.float32)
-        wqkv, bqkv = wqkv.astype(self.dtype), bqkv.astype(self.dtype)
-        wo, bo = wo.astype(self.dtype), bo.astype(self.dtype)
-
-        b, s, _ = x.shape
-
-        if decode_index is not None:
-            # KV-cached single-token step: x [B, 1, D], attend over the cache
-            # prefix [0, decode_index]. key_pad [B, L] masks EOS'd positions.
-            h, hd = self.n_heads, d // self.n_heads
-            length = decode_len
-            qkv = (x.reshape(b, d) @ wqkv + bqkv)  # [B, 3D]
-            q, k_t, v_t = qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :]
-
-            ck = self.variable(
-                "cache", "k", lambda: jnp.zeros((b, length, d), self.dtype)
-            )
-            cv = self.variable(
-                "cache", "v", lambda: jnp.zeros((b, length, d), self.dtype)
-            )
-            ck.value = jax.lax.dynamic_update_index_in_dim(
-                ck.value, k_t.astype(self.dtype), decode_index, axis=1
-            )
-            cv.value = jax.lax.dynamic_update_index_in_dim(
-                cv.value, v_t.astype(self.dtype), decode_index, axis=1
-            )
-
-            qh = q.reshape(b, h, hd) * (hd ** -0.5)
-            kh = ck.value.reshape(b, length, h, hd)
-            scores = jnp.einsum(
-                "bhd,bkhd->bhk", qh, kh, preferred_element_type=jnp.float32
-            )  # [B, H, L]
-            pos = jnp.arange(length)
-            scores = jnp.where(
-                (pos <= decode_index)[None, None, :], scores, -jnp.inf
-            )
-            if key_pad is not None:
-                scores = scores + key_pad[:, None, :]
-            p = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-            vh = cv.value.reshape(b, length, h, hd)
-            ctx = jnp.einsum("bhk,bkhd->bhd", p, vh).reshape(b, d)
-            out = (ctx @ wo + bo).astype(self.dtype)
-            return out.reshape(b, 1, d)
-
-        use_pallas = self.impl == "pallas" and deterministic
-        if use_pallas:
-            mask = (
-                key_pad.astype(jnp.float32)
-                if key_pad is not None
-                else jnp.zeros((b, s), jnp.float32)
-            )
-            return fused_mha(
-                x, wqkv, bqkv, wo, bo, mask,
-                n_heads=self.n_heads, tile_b=pick_tile_b(b, s), causal=causal,
-            )
-
-        rng = (
-            self.make_rng("dropout")
-            if (not deterministic and self.dropout > 0.0)
-            else None
-        )
-        return mha_reference(
-            x, wqkv, bqkv, wo, bo, key_pad, self.n_heads, causal=causal,
-            dropout_rate=self.dropout if not deterministic else 0.0,
-            dropout_rng=rng,
-        )
+def layer_norm(x, ln, eps: float = 1e-5):
+    """Manual LayerNorm with stacked [2, D] params, computed in f32
+    (epsilon matches torch for reference parity)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    out = xc * jax.lax.rsqrt(var + eps) * ln[0].astype(jnp.float32) + ln[1].astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def key_padding_to_additive(key_padding_mask: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
@@ -141,22 +57,8 @@ def key_padding_to_additive(key_padding_mask: Optional[jnp.ndarray]) -> Optional
     return jnp.where(key_padding_mask, -jnp.inf, 0.0)
 
 
-class FeedForward(nn.Module):
-    d_model: int
-    dim_feedforward: int
-    dropout: float
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        h = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
-        h = nn.relu(h)
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
-
-
-class EncoderLayerImproved(nn.Module):
-    """Pre-LN encoder layer (improved_transformer.py:42-54)."""
+class _TransformerLayerBase(nn.Module):
+    """Shared parameter declaration + path dispatch for the two layer types."""
 
     d_model: int
     n_heads: int
@@ -165,6 +67,81 @@ class EncoderLayerImproved(nn.Module):
     use_label: bool = False
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    dim_label: int = 64
+
+    def _params(self):
+        d, dff = self.d_model, self.dim_feedforward
+        init = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        p = {
+            "norm1": self.param("norm1", _ln_params_init, (2, d)),
+            "wqkv": self.param("wqkv", init, (d, 3 * d), jnp.float32),
+            "bqkv": self.param("bqkv", zeros, (3 * d,), jnp.float32),
+            "wo": self.param("wo", init, (d, d), jnp.float32),
+            "bo": self.param("bo", zeros, (d,), jnp.float32),
+            "norm2": self.param("norm2", _ln_params_init, (2, d)),
+            "ff1_kernel": self.param("ff1_kernel", init, (d, dff), jnp.float32),
+            "ff1_bias": self.param("ff1_bias", zeros, (dff,), jnp.float32),
+            "ff2_kernel": self.param("ff2_kernel", init, (dff, d), jnp.float32),
+            "ff2_bias": self.param("ff2_bias", zeros, (d,), jnp.float32),
+        }
+        if self.use_label:
+            p["glob2_kernel"] = self.param("glob2_kernel", init, (self.dim_label, d), jnp.float32)
+            p["glob2_bias"] = self.param("glob2_bias", zeros, (d,), jnp.float32)
+        return {k: v.astype(self.dtype) for k, v in p.items()}
+
+    def _attention_xla(self, xn, key_pad, causal, deterministic, p):
+        from ..ops.attention import mha_reference
+
+        rng = (
+            self.make_rng("dropout")
+            if (not deterministic and self.dropout > 0.0) else None
+        )
+        return mha_reference(
+            xn, p["wqkv"], p["bqkv"], p["wo"], p["bo"], key_pad, self.n_heads,
+            causal=causal,
+            dropout_rate=self.dropout if not deterministic else 0.0,
+            dropout_rng=rng,
+        )
+
+    def _attention_cached(self, x_t, key_pad, decode_index, decode_len, p):
+        """KV-cached single-token attention (x_t [B, 1, D])."""
+        b = x_t.shape[0]
+        d, h = self.d_model, self.n_heads
+        hd = d // h
+        qkv = x_t.reshape(b, d) @ p["wqkv"] + p["bqkv"]
+        q, k_t, v_t = qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :]
+
+        ck = self.variable("cache", "k", lambda: jnp.zeros((b, decode_len, d), self.dtype))
+        cv = self.variable("cache", "v", lambda: jnp.zeros((b, decode_len, d), self.dtype))
+        ck.value = jax.lax.dynamic_update_index_in_dim(
+            ck.value, k_t.astype(self.dtype), decode_index, axis=1
+        )
+        cv.value = jax.lax.dynamic_update_index_in_dim(
+            cv.value, v_t.astype(self.dtype), decode_index, axis=1
+        )
+
+        qh = q.reshape(b, h, hd) * (hd ** -0.5)
+        kh = ck.value.reshape(b, decode_len, h, hd)
+        scores = jnp.einsum("bhd,bkhd->bhk", qh, kh, preferred_element_type=jnp.float32)
+        pos = jnp.arange(decode_len)
+        scores = jnp.where((pos <= decode_index)[None, None, :], scores, -jnp.inf)
+        if key_pad is not None:
+            scores = scores + key_pad[:, None, :]
+        prob = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        vh = cv.value.reshape(b, decode_len, h, hd)
+        ctx = jnp.einsum("bhk,bkhd->bhd", prob, vh).reshape(b, d)
+        return ((ctx @ p["wo"]) + p["bo"]).astype(self.dtype).reshape(b, 1, d)
+
+    def _ffn_xla(self, x, deterministic, p):
+        xn2 = layer_norm(x, p["norm2"])
+        h = jnp.maximum(xn2 @ p["ff1_kernel"] + p["ff1_bias"], 0)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return h @ p["ff2_kernel"] + p["ff2_bias"]
+
+
+class EncoderLayerImproved(_TransformerLayerBase):
+    """Pre-LN encoder layer (improved_transformer.py:42-54)."""
 
     @nn.compact
     def __call__(
@@ -174,36 +151,44 @@ class EncoderLayerImproved(nn.Module):
         label_emb: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        p = self._params()
+        b, s, _ = src.shape
+
+        use_fused = (
+            self.attn_impl == "pallas" and deterministic
+            and not (self.use_label and label_emb is not None)
+        )
+        if use_fused:
+            from ..ops.attention import pick_tile_b
+            from ..ops.layer import fused_encoder_layer
+
+            mask = (
+                key_pad.astype(jnp.float32)
+                if key_pad is not None else jnp.zeros((b, s), jnp.float32)
+            )
+            return fused_encoder_layer(
+                src, p["norm1"], p["wqkv"], p["bqkv"], p["wo"], p["bo"],
+                p["norm2"], p["ff1_kernel"], p["ff1_bias"], p["ff2_kernel"],
+                p["ff2_bias"], mask, n_heads=self.n_heads,
+                tile_b=pick_tile_b(b, s),
+            )
+
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        src1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
-        attn = MultiheadSelfAttention(
-            self.d_model, self.n_heads, self.dropout, self.dtype, self.attn_impl,
-            name="self_attn",
-        )(src1, key_pad=key_pad, deterministic=deterministic)
-        src = src + drop(attn)
+        xn = layer_norm(src, p["norm1"])
+        src = src + drop(self._attention_xla(xn, key_pad, False, deterministic, p))
 
         if self.use_label and label_emb is not None:
-            inj = nn.Dense(self.d_model, dtype=self.dtype, name="linear_global2")(label_emb)
-            src = src + drop(inj)
+            src = src + drop(label_emb @ p["glob2_kernel"] + p["glob2_bias"])
 
-        src1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
-        ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout, self.dtype,
-                         name="ff")(src1, deterministic)
-        return src + drop(ff)
+        return src + drop(self._ffn_xla(src, deterministic, p))
 
 
-class DecoderLayerGlobalImproved(nn.Module):
+class DecoderLayerGlobalImproved(_TransformerLayerBase):
     """Pre-LN decoder layer with latent injection instead of cross-attention
     (improved_transformer.py:126-141): ``tgt += linear_global(z)`` broadcast
     over the sequence axis."""
 
-    d_model: int
-    n_heads: int
-    dim_feedforward: int
-    dropout: float
-    use_label: bool = False
-    dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "xla"
+    dim_z: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -217,29 +202,51 @@ class DecoderLayerGlobalImproved(nn.Module):
         decode_index=None,
         decode_len: Optional[int] = None,
     ) -> jnp.ndarray:
-        drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        tgt1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
-        attn = MultiheadSelfAttention(
-            self.d_model, self.n_heads, self.dropout, self.dtype, self.attn_impl,
-            name="self_attn",
-        )(tgt1, key_pad=key_pad, causal=causal, deterministic=deterministic,
-          decode_index=decode_index, decode_len=decode_len)
-        tgt = tgt + drop(attn)
+        p = self._params()
+        dz = self.dim_z if self.dim_z is not None else z.shape[-1]
+        init = nn.initializers.lecun_normal()
+        wg = self.param("glob_kernel", init, (dz, self.d_model), jnp.float32).astype(self.dtype)
+        bg = self.param("glob_bias", nn.initializers.zeros, (self.d_model,), jnp.float32).astype(self.dtype)
 
-        # z: [B, 1, dim_z] or [B, dim_z] — broadcast-added over sequence.
-        if z.ndim == 2:
-            z = z[:, None, :]
-        inj = nn.Dense(self.d_model, dtype=self.dtype, name="linear_global")(z)
-        tgt = tgt + drop(inj)
+        z2 = z[:, 0, :] if z.ndim == 3 else z
+        b, s, _ = tgt.shape
+
+        if decode_index is not None:
+            tgt1 = layer_norm(tgt, p["norm1"])
+            tgt = tgt + self._attention_cached(tgt1, key_pad, decode_index, decode_len, p)
+            tgt = tgt + (z2 @ wg + bg)[:, None, :]
+            if self.use_label and label_emb is not None:
+                tgt = tgt + (label_emb @ p["glob2_kernel"] + p["glob2_bias"])
+            return tgt + self._ffn_xla(tgt, True, p)
+
+        use_fused = (
+            self.attn_impl == "pallas" and deterministic
+            and not (self.use_label and label_emb is not None)
+        )
+        if use_fused:
+            from ..ops.attention import pick_tile_b
+            from ..ops.layer import fused_decoder_layer
+
+            mask = (
+                key_pad.astype(jnp.float32)
+                if key_pad is not None else jnp.zeros((b, s), jnp.float32)
+            )
+            return fused_decoder_layer(
+                tgt, z2, p["norm1"], p["wqkv"], p["bqkv"], p["wo"], p["bo"],
+                wg, bg, p["norm2"], p["ff1_kernel"], p["ff1_bias"],
+                p["ff2_kernel"], p["ff2_bias"], mask, n_heads=self.n_heads,
+                tile_b=pick_tile_b(b, s), causal=causal,
+            )
+
+        drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        xn = layer_norm(tgt, p["norm1"])
+        tgt = tgt + drop(self._attention_xla(xn, key_pad, causal, deterministic, p))
+        tgt = tgt + drop((z2 @ wg + bg)[:, None, :])
 
         if self.use_label and label_emb is not None:
-            inj2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear_global2")(label_emb)
-            tgt = tgt + drop(inj2)
+            tgt = tgt + drop(label_emb @ p["glob2_kernel"] + p["glob2_bias"])
 
-        tgt1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
-        ff = FeedForward(self.d_model, self.dim_feedforward, self.dropout, self.dtype,
-                         name="ff")(tgt1, deterministic)
-        return tgt + drop(ff)
+        return tgt + drop(self._ffn_xla(tgt, deterministic, p))
 
 
 class EncoderStack(nn.Module):

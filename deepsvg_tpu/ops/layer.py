@@ -1,0 +1,203 @@
+"""Fully-fused transformer layer kernels (Pallas TPU).
+
+One kernel per layer: LN1 -> self-attention -> residual [-> latent injection]
+-> LN2 -> feed-forward -> residual, entirely in VMEM. Beyond the fused
+attention (ops/attention.py), this removes the ~6 HBM round-trips per layer
+that LayerNorms, residual adds and the FF block cost under a stock XLA
+lowering — at bench shapes those bandwidth passes are comparable to the
+attention itself.
+
+Residual accumulation is float32 (slightly *better* numerics than the bf16
+XLA path); matmuls follow the same block-packing strategy as fused_mha.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _layer_norm_f32(x, scale, bias, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    return xc * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _attention_block(xn, wqkv_ref, bqkv_ref, wo_ref, bo_ref, big_mask,
+                     n_heads, d_model):
+    """Block-packed attention on the LN'd input (see ops/attention.py)."""
+    head_dim = d_model // n_heads
+    scale = head_dim ** -0.5
+    qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(xn.dtype)
+
+    ctx_heads = []
+    for h in range(n_heads):
+        q = qkv[:, h * head_dim : (h + 1) * head_dim]
+        k = qkv[:, d_model + h * head_dim : d_model + (h + 1) * head_dim]
+        v = qkv[:, 2 * d_model + h * head_dim : 2 * d_model + (h + 1) * head_dim]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        scores = scores + big_mask
+        exp = jnp.exp(scores)  # LN-bounded: no max-subtraction needed
+        p = (exp / jnp.sum(exp, axis=-1, keepdims=True)).astype(xn.dtype)
+        ctx_heads.append(
+            jnp.dot(p, v, preferred_element_type=jnp.float32).astype(xn.dtype)
+        )
+    ctx = jnp.concatenate(ctx_heads, axis=1)
+    out = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
+    return out + bo_ref[:].astype(jnp.float32)
+
+
+def _make_big_mask(mask_ref, rows, seq_len, causal):
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    allowed = (r // seq_len) == (c // seq_len)
+    if causal:
+        allowed = allowed & ((c % seq_len) <= (r % seq_len))
+    key_pad = mask_ref[0]  # [1, rows]
+    return jnp.where(allowed, key_pad, -jnp.inf)
+
+
+def _ffn_block(x_res, ln2_s, ln2_b, w1_ref, b1_ref, w2_ref, b2_ref, dtype):
+    xn2 = _layer_norm_f32(x_res, ln2_s, ln2_b).astype(dtype)
+    h = jnp.dot(xn2, w1_ref[:], preferred_element_type=jnp.float32)
+    h = jnp.maximum(h + b1_ref[:].astype(jnp.float32), 0.0).astype(dtype)
+    ff = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    return ff + b2_ref[:].astype(jnp.float32)
+
+
+def _encoder_layer_kernel(
+    x_ref, ln1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, ln2_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, mask_ref, out_ref,
+    *, n_heads, seq_len, d_model, tile_b, causal,
+):
+    rows = tile_b * seq_len
+    dtype = x_ref.dtype
+    x = x_ref[:].reshape(rows, d_model).astype(jnp.float32)
+
+    ln1 = ln1_ref[:].astype(jnp.float32)
+    big_mask = _make_big_mask(mask_ref, rows, seq_len, causal)
+    xn = _layer_norm_f32(x, ln1[0:1], ln1[1:2]).astype(dtype)
+    x = x + _attention_block(xn, wqkv_ref, bqkv_ref, wo_ref, bo_ref, big_mask,
+                             n_heads, d_model)
+
+    ln2 = ln2_ref[:].astype(jnp.float32)
+    x = x + _ffn_block(x, ln2[0:1], ln2[1:2], w1_ref, b1_ref, w2_ref, b2_ref, dtype)
+    out_ref[:] = x.astype(dtype).reshape(tile_b, seq_len, d_model)
+
+
+def _decoder_layer_kernel(
+    x_ref, z_ref, ln1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    wg_ref, bg_ref, ln2_ref, w1_ref, b1_ref, w2_ref, b2_ref, mask_ref, out_ref,
+    *, n_heads, seq_len, d_model, tile_b, causal,
+):
+    rows = tile_b * seq_len
+    dtype = x_ref.dtype
+    x = x_ref[:].reshape(rows, d_model).astype(jnp.float32)
+
+    ln1 = ln1_ref[:].astype(jnp.float32)
+    big_mask = _make_big_mask(mask_ref, rows, seq_len, causal)
+    xn = _layer_norm_f32(x, ln1[0:1], ln1[1:2]).astype(dtype)
+    x = x + _attention_block(xn, wqkv_ref, bqkv_ref, wo_ref, bo_ref, big_mask,
+                             n_heads, d_model)
+
+    # latent injection: z [tile_b, dz] -> linear -> broadcast over sequence
+    z = z_ref[:]
+    inj = jnp.dot(z, wg_ref[:], preferred_element_type=jnp.float32)
+    inj = inj + bg_ref[:].astype(jnp.float32)  # [tile_b, D]
+    inj_rows = jnp.broadcast_to(
+        inj[:, None, :], (tile_b, seq_len, d_model)
+    ).reshape(rows, d_model)
+    x = x + inj_rows
+
+    ln2 = ln2_ref[:].astype(jnp.float32)
+    x = x + _ffn_block(x, ln2[0:1], ln2[1:2], w1_ref, b1_ref, w2_ref, b2_ref, dtype)
+    out_ref[:] = x.astype(dtype).reshape(tile_b, seq_len, d_model)
+
+
+def _common_specs(d, dff, tile_b, s):
+    rows = tile_b * s
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    return rows, full
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "tile_b", "causal", "interpret")
+)
+def fused_encoder_layer(
+    x, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2, mask,
+    n_heads: int, tile_b: int = 8, causal: bool = False, interpret: bool = False,
+):
+    """x [B, S, D]; ln1/ln2 are stacked [2, D] (scale, bias); mask [B, S]
+    additive float32."""
+    b, s, d = x.shape
+    dff = w1.shape[-1]
+    assert b % tile_b == 0
+    if jax.default_backend() == "cpu":
+        interpret = True
+    rows, full = _common_specs(d, dff, tile_b, s)
+
+    kernel = functools.partial(
+        _encoder_layer_kernel, n_heads=n_heads, seq_len=s, d_model=d,
+        tile_b=tile_b, causal=causal,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+        grid=(b // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            full(ln1.shape), full(wqkv.shape), full(bqkv.shape),
+            full(wo.shape), full(bo.shape), full(ln2.shape),
+            full(w1.shape), full(b1.shape), full(w2.shape), full(b2.shape),
+            pl.BlockSpec((1, 1, rows), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_b, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2,
+      mask.reshape(b // tile_b, 1, rows))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "tile_b", "causal", "interpret")
+)
+def fused_decoder_layer(
+    x, z, ln1, wqkv, bqkv, wo, bo, wg, bg, ln2, w1, b1, w2, b2, mask,
+    n_heads: int, tile_b: int = 8, causal: bool = False, interpret: bool = False,
+):
+    """Decoder layer with latent injection: z [B, dz]."""
+    b, s, d = x.shape
+    dff = w1.shape[-1]
+    assert b % tile_b == 0
+    if jax.default_backend() == "cpu":
+        interpret = True
+    rows, full = _common_specs(d, dff, tile_b, s)
+
+    kernel = functools.partial(
+        _decoder_layer_kernel, n_heads=n_heads, seq_len=s, d_model=d,
+        tile_b=tile_b, causal=causal,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+        grid=(b // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, z.shape[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full(ln1.shape), full(wqkv.shape), full(bqkv.shape),
+            full(wo.shape), full(bo.shape), full(wg.shape), full(bg.shape),
+            full(ln2.shape), full(w1.shape), full(b1.shape), full(w2.shape),
+            full(b2.shape),
+            pl.BlockSpec((1, 1, rows), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_b, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, z, ln1, wqkv, bqkv, wo, bo, wg, bg, ln2, w1, b1, w2, b2,
+      mask.reshape(b // tile_b, 1, rows))

@@ -54,32 +54,33 @@ def transplant(torch_model) -> dict:
     """Map the torch state_dict onto the flax param tree."""
     sd = {k: _t(v) for k, v in torch_model.state_dict().items()}
 
-    def attn(prefix):
-        return {
-            "wqkv": sd[f"{prefix}.self_attn.in_proj_weight"].T,
-            "bqkv": sd[f"{prefix}.self_attn.in_proj_bias"],
-            "wo": sd[f"{prefix}.self_attn.out_proj.weight"].T,
-            "bo": sd[f"{prefix}.self_attn.out_proj.bias"],
-        }
-
     def ln(prefix):
         return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    def ln_stacked(prefix):
+        return np.stack([sd[f"{prefix}.weight"], sd[f"{prefix}.bias"]])
 
     def dense(prefix):
         return {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}
 
     def enc_layer(prefix):
         return {
-            "self_attn": attn(prefix),
-            "norm1": ln(f"{prefix}.norm1"),
-            "norm2": ln(f"{prefix}.norm2"),
-            "ff": {"linear1": dense(f"{prefix}.linear1"),
-                   "linear2": dense(f"{prefix}.linear2")},
+            "wqkv": sd[f"{prefix}.self_attn.in_proj_weight"].T,
+            "bqkv": sd[f"{prefix}.self_attn.in_proj_bias"],
+            "wo": sd[f"{prefix}.self_attn.out_proj.weight"].T,
+            "bo": sd[f"{prefix}.self_attn.out_proj.bias"],
+            "norm1": ln_stacked(f"{prefix}.norm1"),
+            "norm2": ln_stacked(f"{prefix}.norm2"),
+            "ff1_kernel": sd[f"{prefix}.linear1.weight"].T,
+            "ff1_bias": sd[f"{prefix}.linear1.bias"],
+            "ff2_kernel": sd[f"{prefix}.linear2.weight"].T,
+            "ff2_bias": sd[f"{prefix}.linear2.bias"],
         }
 
     def dec_layer(prefix):
         d = enc_layer(prefix)
-        d["linear_global"] = dense(f"{prefix}.linear_global")
+        d["glob_kernel"] = sd[f"{prefix}.linear_global.weight"].T
+        d["glob_bias"] = sd[f"{prefix}.linear_global.bias"]
         return d
 
     def stack(prefix, n, layer_fn):
