@@ -25,6 +25,7 @@ from .masks import (
     sequence_lengths,
     visibility_mask,
 )
+from .wrapper import SVGTensor
 from .tensor import (
     cmd_args_to_data14,
     data14_to_cmd_args,
@@ -41,6 +42,7 @@ __all__ = [
     "N_ARGS", "N_COMMANDS", "PAD_VAL",
     "causal_mask", "group_mask", "key_padding_mask", "key_visibility_mask",
     "padding_mask", "sequence_lengths", "visibility_mask",
+    "SVGTensor",
     "cmd_args_to_data14", "data14_to_cmd_args", "make_absolute",
     "mask_invalid_args", "pack_groups", "pack_sequence", "relative_args",
 ]

@@ -118,6 +118,7 @@ def relative_args_np(commands: np.ndarray, args: np.ndarray) -> np.ndarray:
         start = d[:-1, IndexArgs.END_POS].copy()
         d[1:, IndexArgs.CONTROL1] -= start
         d[1:, IndexArgs.CONTROL2] -= start
+        d[1:, IndexArgs.END_POS] -= start
         data[real] = d
     mask = CMD_ARGS_MASK_NP[commands].astype(bool)
     data[mask] += ARGS_DIM - 1

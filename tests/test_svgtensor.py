@@ -199,3 +199,76 @@ class TestRelAbs:
         assert (out[0][:9] == PAD_VAL).all() and (out[0][9:] == 1).all()
         assert (out[1][:5] == PAD_VAL).all() and (out[1][5:] == 1).all()
         assert (out[2] == PAD_VAL).all()
+
+
+class TestSVGTensorWrapper:
+    """The drop-in SVGTensor object API (reference difflib/tensor.py surface)."""
+
+    def test_round_trip_and_seq_ops(self, rng):
+        from deepsvg_tpu.svgtensor import SVGTensor
+
+        cmds, args = random_sequence(rng, 4, 6)
+        # strip SOS/padding to emulate raw content
+        t = SVGTensor.from_cmd_args(cmds[1:5], args[1:5])
+        assert len(t) == 4
+        t.add_eos().add_sos().pad(seq_len=8)
+        assert len(t) == 8
+        assert t.cmds()[0] == CMD_SOS and t.cmds()[-1] == CMD_EOS
+        t.unpad().drop_sos()
+        assert len(t) == 4
+        np.testing.assert_allclose(t.args(), args[1:5])
+
+    def test_data_14col_round_trip(self, rng):
+        from deepsvg_tpu.svgtensor import SVGTensor
+
+        cmds, args = random_sequence(rng, 5, 7)
+        t = SVGTensor.from_cmd_args(cmds, args)
+        t2 = SVGTensor.from_data(t.data)
+        np.testing.assert_allclose(t2.cmds(), t.cmds())
+        np.testing.assert_allclose(t2.args(), t.args())
+
+    def test_relative_args_matches_functional(self, rng):
+        from deepsvg_tpu.svgtensor import SVGTensor
+
+        cmds, args = random_sequence(rng, 5, 9)
+        t = SVGTensor.from_cmd_args(cmds, args)
+        np.testing.assert_allclose(
+            t.get_relative_args(), ref_relative_args(cmds, args), atol=1e-5
+        )
+
+    def test_sample_points(self, rng):
+        from deepsvg_tpu.svgtensor import SVGTensor
+
+        cmds, args = random_sequence(rng, 4, 8)
+        t = SVGTensor.from_cmd_args(cmds, args)
+        p = t.sample_points(n=5)
+        assert p.ndim == 2 and p.shape[1] == 2
+
+
+class TestDifflibViz:
+    def test_plot_points(self, rng):
+        from deepsvg_tpu.difflib import plot_points
+
+        img = plot_points(rng.random((20, 2)), viewbox=(24, 24),
+                          show_color=True, return_img=True)
+        assert img.size[0] > 0
+
+    def test_plot_matching(self, rng):
+        from deepsvg_tpu.difflib import plot_matching
+
+        p1 = rng.random((30, 2))
+        p2 = rng.random((30, 2))
+        img = plot_matching(p1, p2, np.arange(30), return_img=True)
+        assert img.size[0] > 0
+
+
+class TestHostDevParity:
+    def test_relative_args_np_matches_jax(self, rng):
+        """The host packer's numpy rel-encoding must match the jit version."""
+        from deepsvg_tpu.svgtensor.tensor import relative_args_np
+
+        for n in (1, 3, 7):
+            cmds, args = random_sequence(rng, n, 12)
+            np_out = relative_args_np(cmds, args)
+            jx_out = np.asarray(relative_args(jnp.asarray(cmds), jnp.asarray(args)))
+            np.testing.assert_allclose(np_out, jx_out, atol=1e-5)
