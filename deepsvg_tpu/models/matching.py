@@ -83,11 +83,51 @@ def _assign_host(costs: np.ndarray, vis: np.ndarray) -> np.ndarray:
     return out
 
 
+_PERM_CACHE: dict = {}
+
+
+def _permutations(p: int) -> np.ndarray:
+    """All permutations of range(p) in lexicographic order, cached."""
+    if p not in _PERM_CACHE:
+        import itertools
+
+        _PERM_CACHE[p] = np.array(list(itertools.permutations(range(p))), np.int32)
+    return _PERM_CACHE[p]
+
+
+def assign_bruteforce(cost: jnp.ndarray, vis: jnp.ndarray) -> jnp.ndarray:
+    """Exact on-device assignment for small P (<= 8): evaluate every
+    permutation at once on the VPU and take the lexicographically-first
+    optimum.
+
+    Invisible target rows get zero cost, so their columns are free; because
+    the dataset packs visible groups as a prefix and ``jnp.argmin`` returns
+    the first (lex-smallest) optimum, the trailing rows receive the remaining
+    proposals in ascending order — exactly the reference's
+    ``assign + sorted(remaining)`` construction (model/model.py:340-346).
+    """
+    n, g, p = cost.shape
+    perms = jnp.asarray(_permutations(p))                    # [K, P] lex order
+    c = jnp.where(vis[:, :, None], cost, 0.0)                # [N, G, P]
+    picked = jnp.take_along_axis(
+        c[:, None, :, :],                                    # [N, 1, G, P]
+        perms[None, :, :, None],                             # [1, K, G, 1]
+        axis=3,
+    )[..., 0]                                                # [N, K, G]
+    totals = jnp.sum(picked, axis=-1)                        # [N, K]
+    best = jnp.argmin(totals, axis=-1)                       # first optimum
+    return perms[best]                                       # [N, P]
+
+
 def perfect_matching(
     cmd_logits, args_logits, vis_logits, tgt_commands, tgt_args, cfg: ModelConfig
 ) -> jnp.ndarray:
     """Assignment permutation ``[N, P]``: entry i = proposal index matched to
-    the i-th (ordered) target group. No gradients flow through this."""
+    the i-th (ordered) target group. No gradients flow through this.
+
+    P <= 8 (the reference's configs): exact on-device brute force — no host
+    sync in the train step. Larger P falls back to the scipy JV solver via
+    host callback (the reference's own solver)."""
     cost, vis = matching_cost(
         jax.lax.stop_gradient(cmd_logits),
         jax.lax.stop_gradient(args_logits),
@@ -95,6 +135,8 @@ def perfect_matching(
         tgt_commands, tgt_args, cfg,
     )
     n, _, p = cost.shape
+    if p <= 8:
+        return assign_bruteforce(cost, vis)
     return jax.pure_callback(
         _assign_host,
         jax.ShapeDtypeStruct((n, p), jnp.int32),

@@ -82,3 +82,28 @@ class TestModelWithPallasAttention:
             np.asarray(out_p["args_logits"]), np.asarray(out_x["args_logits"]),
             atol=1e-4,
         )
+
+
+class TestHungarianBruteforce:
+    def test_matches_scipy_optimal_cost(self, rng):
+        from scipy.optimize import linear_sum_assignment
+
+        from deepsvg_tpu.models.matching import assign_bruteforce
+
+        for _ in range(10):
+            g = int(rng.integers(2, 8))
+            n_vis = int(rng.integers(1, g + 1))
+            cost = rng.random((1, g, g)).astype(np.float32)
+            vis = np.zeros((1, g), bool)
+            vis[0, :n_vis] = True  # visible prefix, like packed data
+            assign = np.asarray(assign_bruteforce(jnp.asarray(cost), jnp.asarray(vis)))[0]
+            # permutation property
+            assert sorted(assign.tolist()) == list(range(g))
+            # optimal over visible rows
+            _, ref = linear_sum_assignment(cost[0][:n_vis])
+            got_cost = cost[0][np.arange(n_vis), assign[:n_vis]].sum()
+            ref_cost = cost[0][np.arange(n_vis), ref].sum()
+            np.testing.assert_allclose(got_cost, ref_cost, atol=1e-6)
+            # invisible tail receives remaining proposals in ascending order
+            remaining = sorted(set(range(g)) - set(assign[:n_vis].tolist()))
+            assert assign[n_vis:].tolist() == remaining
