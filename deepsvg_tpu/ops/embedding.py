@@ -14,9 +14,9 @@ comparison (never touching HBM) and accumulates all terms in one pass:
 
     out[row] = CmdT[cmd] + sum_i T_i[arg_i + 1] (+ GroupT[gid]) + PosT[s]
 
-Index operands are passed pre-flattened ``[B·S, 1]`` (args transposed to
-``[n_args, B·S, 1]``) so every in-kernel tensor stays in natural 2D layout —
-Mosaic cannot relayout lane dims into sublanes.
+Index operands are passed pre-flattened (commands ``[B·S, 1]``, args
+``[B·S, n_args]``, lane-sliced per slot in-kernel) so every in-kernel tensor
+stays in natural 2D layout — Mosaic cannot relayout lane dims into sublanes.
 """
 from __future__ import annotations
 
@@ -43,7 +43,7 @@ def _embed_kernel(
 
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, args_vocab), 1)
     for i in range(n_args):
-        a = args_ref[i] + 1  # [rows, 1]; PAD -1 -> 0
+        a = args_ref[:, i : i + 1] + 1  # [rows, 1]; PAD -1 -> 0
         oh = (col == a).astype(arg_t_ref.dtype)
         table_i = arg_t_ref[i * args_vocab : (i + 1) * args_vocab, :]
         acc = acc + jnp.dot(oh, table_i, preferred_element_type=f32)
@@ -91,9 +91,9 @@ def fused_embedding(
         group_table = jnp.zeros((8, d), cmd_table.dtype)
     group_vocab = group_table.shape[0]
 
-    # flatten index operands to lane-1 2D layouts (see module docstring)
+    # flatten index operands to 2D layouts (see module docstring)
     cmd_flat = commands.astype(jnp.int32).reshape(b * s, 1)
-    args_t = args.astype(jnp.int32).reshape(b * s, n_args).T.reshape(n_args, b * s, 1)
+    args_flat = args.astype(jnp.int32).reshape(b * s, n_args)
     groups_flat = groups.astype(jnp.int32).reshape(b * s, 1)
 
     kernel = functools.partial(
@@ -107,7 +107,7 @@ def fused_embedding(
         grid=(b // tile_b,),
         in_specs=[
             pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_args, rows, 1), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, n_args), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(cmd_table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(arg_tables.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -116,7 +116,7 @@ def fused_embedding(
         ],
         out_specs=pl.BlockSpec((tile_b, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(cmd_flat, args_t, groups_flat, cmd_table, arg_tables, group_table, pos_table)
+    )(cmd_flat, args_flat, groups_flat, cmd_table, arg_tables, group_table, pos_table)
 
 
 def fold_arg_tables(arg_embed: jnp.ndarray, fcn_kernel: jnp.ndarray,
