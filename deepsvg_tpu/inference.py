@@ -61,7 +61,10 @@ class InferenceSession:
         args = []
         for k in self.model_args[:2]:
             v = np.asarray(batch[k])
-            if v.ndim == 2 + (k.startswith("args")):
+            # add the batch axis if the dict holds a single unbatched item:
+            # commands come as [G, S] (-> [1, G, S]), args as [G, S, 11]
+            unbatched_ndim = 3 if k.startswith("args") else 2
+            if v.ndim == unbatched_ndim:
                 v = v[None]
             args.append(jnp.asarray(v))
         return self._encode(self.variables, *args)

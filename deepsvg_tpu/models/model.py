@@ -98,7 +98,11 @@ class Bottleneck(nn.Module):
 
 
 class FCN(nn.Module):
-    """Command + argument classification heads (basic_blocks.py:5-23)."""
+    """Command + argument classification heads (basic_blocks.py:5-23).
+
+    ``argmax=True`` switches to the fused head+argmax kernel (ops/head.py):
+    ids come back directly without materializing the [.., n_args, args_dim]
+    logits tensor (greedy-sampling hot path)."""
 
     d_model: int
     n_commands: int
@@ -107,11 +111,34 @@ class FCN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, out: jnp.ndarray):
-        cmd_logits = nn.Dense(self.n_commands, dtype=self.dtype, name="command_fcn")(out)
-        args_logits = nn.Dense(
-            self.n_args * self.args_dim, dtype=self.dtype, name="args_fcn"
-        )(out)
+    def __call__(self, out: jnp.ndarray, argmax: bool = False):
+        init = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        wc = self.param("command_kernel", init, (self.d_model, self.n_commands), jnp.float32)
+        bc = self.param("command_bias", zeros, (self.n_commands,), jnp.float32)
+        wa = self.param("args_kernel", init, (self.d_model, self.n_args * self.args_dim), jnp.float32)
+        ba = self.param("args_bias", zeros, (self.n_args * self.args_dim,), jnp.float32)
+        wc, bc = wc.astype(self.dtype), bc.astype(self.dtype)
+        wa, ba = wa.astype(self.dtype), ba.astype(self.dtype)
+
+        if argmax:
+            from ..ops.head import fused_head_argmax
+
+            lead = out.shape[:-1]
+            x = out.reshape(-1, self.d_model)
+            tile = 512  # largest power-of-two row tile that divides the batch
+            while tile > 8 and x.shape[0] % tile != 0:
+                tile //= 2
+            ids = fused_head_argmax(
+                x, wc, bc, wa, ba, n_commands=self.n_commands,
+                n_args=self.n_args, tile_rows=tile,
+            )
+            cmd_ids = ids[:, 0].reshape(lead)
+            args_ids = ids[:, 1:].reshape(lead + (self.n_args,))
+            return cmd_ids, args_ids
+
+        cmd_logits = out @ wc + bc
+        args_logits = out @ wa + ba
         args_logits = args_logits.reshape(out.shape[:-1] + (self.n_args, self.args_dim))
         return cmd_logits, args_logits
 
@@ -256,7 +283,8 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, z, commands=None, args=None, label=None, deterministic=True,
-                 decode_index=None, decode_groups=None, decode_key_pad=None):
+                 decode_index=None, decode_groups=None, decode_key_pad=None,
+                 argmax_head=False):
         """``decode_index`` switches to the KV-cached single-token mode:
         ``commands/args`` then hold only the token at that position
         (``[N, G, 1]``) and ``decode_groups`` its running moveto count."""
@@ -341,10 +369,10 @@ class Decoder(nn.Module):
         cmd_logits, args_logits = FCN(
             cfg.d_model, cfg.n_commands, cfg.n_args, cfg.args_dim_out, dtype,
             name="fcn",
-        )(out)
+        )(out, argmax=argmax_head)
 
-        cmd_logits = _unfold(cmd_logits, n)      # [N, G, S, n_commands]
-        args_logits = _unfold(args_logits, n)    # [N, G, S, n_args, args_dim_out]
+        cmd_logits = _unfold(cmd_logits, n)      # [N, G, S, (n_commands)]
+        args_logits = _unfold(args_logits, n)    # [N, G, S, n_args(, args_dim_out)]
         return cmd_logits, args_logits, hierarch_logits
 
 
@@ -404,6 +432,7 @@ class SVGTransformer(nn.Module):
         encode_mode=False,
         deterministic=True,
         sample_vae=True,
+        argmax_head=False,
     ):
         cfg = self.cfg
         mu = logsigma = None
@@ -421,7 +450,8 @@ class SVGTransformer(nn.Module):
             commands_dec_, args_dec_ = commands_dec, args_dec
 
         cmd_logits, args_logits, hierarch_logits = self.decoder(
-            z, commands_dec_, args_dec_, label, deterministic=deterministic
+            z, commands_dec_, args_dec_, label, deterministic=deterministic,
+            argmax_head=argmax_head,
         )
 
         if return_tgt and cfg.self_match:
@@ -436,9 +466,11 @@ class SVGTransformer(nn.Module):
                 assignment, cmd_logits, args_logits, hierarch_logits
             )
 
+        key_c = "command_ids" if argmax_head else "command_logits"
+        key_a = "args_ids" if argmax_head else "args_logits"
         res = {
-            "command_logits": cmd_logits,
-            "args_logits": args_logits,
+            key_c: cmd_logits,
+            key_a: args_logits,
         }
         if cfg.decode_stages == 2:
             res["visibility_logits"] = hierarch_logits

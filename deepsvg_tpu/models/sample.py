@@ -84,13 +84,21 @@ def one_shot_sample(
     flatten with :func:`flatten_groups_np` for the ragged reference layout.
     """
     cfg = model.cfg
+    # greedy (T -> 0) with the Pallas backend: fused head+argmax kernel — the
+    # full argument-logits tensor is never materialized
+    use_argmax_head = key is None and cfg.attention_impl == "pallas"
     res = model.apply(
         variables, commands_enc, args_enc, None, None, label=label, z=z,
         return_tgt=False, deterministic=True, rngs=rngs,
+        argmax_head=use_argmax_head,
     )
-    kc, ka = (None, None) if key is None else jax.random.split(key)
-    commands_y = sample_categorical(kc, res["command_logits"], temperature)
-    args_y = sample_categorical(ka, res["args_logits"], temperature) - 1  # PAD shift
+    if use_argmax_head:
+        commands_y = res["command_ids"]
+        args_y = res["args_ids"] - 1  # PAD shift
+    else:
+        kc, ka = (None, None) if key is None else jax.random.split(key)
+        commands_y = sample_categorical(kc, res["command_logits"], temperature)
+        args_y = sample_categorical(ka, res["args_logits"], temperature) - 1
     visibility_y = (
         threshold_sample(res["visibility_logits"], visibility_threshold)
         if cfg.decode_stages == 2 else None

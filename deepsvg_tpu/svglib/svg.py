@@ -20,8 +20,13 @@ from xml.dom import expatbuilder
 import numpy as np
 
 from .geom import Angle, Bbox, Point, union_bbox
-from .svg_command import SVGCommandBezier
+from .svg_command import SVGCommandBezier, SVGCommandLine
 from .svg_path import Filling, Orientation, PolygonGrid, SVGPath
+
+
+def SVGCommandLineLike(move_command) -> SVGCommandLine:
+    """A visible line along a moveto's pen travel (for animation frames)."""
+    return SVGCommandLine(move_command.start_pos.copy(), move_command.end_pos.copy())
 from .svg_primitive import (
     SVGCircle,
     SVGEllipse,
@@ -548,25 +553,25 @@ class SVG:
     def to_frames(self, color="grey", width=200):
         """Progressive-drawing frame sequence as PIL images (replaces the
         reference's moviepy clip pipeline, svg.py:366-378)."""
+        from .svg_command import SVGCommandMove
+
         frames = [SVG([], self.viewbox.copy()).render(width=width)]
         drawn: List = []
         for svg_path in self.paths:
             for command in svg_path.all_commands():
-                from .svg_command import SVGCommandMove
-
-                partial = SVGPath(
-                    [c for c in drawn if not isinstance(c, SVGCommandMove)] or None
-                )
                 groups = []
-                if partial.path_commands:
-                    groups.append(SVGPath(list(partial.path_commands)).to_group(color=color))
-                groups.append(
-                    SVGPath([command]).to_group(color="red")
-                    if not isinstance(command, SVGCommandMove)
-                    else SVGPath([SVGCommandBezier(
-                        command.start_pos, command.start_pos, command.end_pos, command.end_pos
-                    )]).to_group(color="teal")
-                )
+                done = [c for c in drawn if not isinstance(c, SVGCommandMove)]
+                if done:
+                    groups.append(SVGPath(done).to_group(color=color))
+                if isinstance(command, SVGCommandMove):
+                    # moves render as a teal pen-travel line (reference draws
+                    # them dashed, svg_path.py:330-332)
+                    current = SVGPath(
+                        [SVGCommandLineLike(command)]
+                    ).to_group(color="teal", dasharray=0.5)
+                else:
+                    current = SVGPath([command]).to_group(color="red")
+                groups.append(current)
                 frames.append(SVG(groups, self.viewbox.copy()).render(width=width))
                 drawn.append(command)
         frames.append(self.render(width=width))

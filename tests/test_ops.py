@@ -107,3 +107,45 @@ class TestHungarianBruteforce:
             # invisible tail receives remaining proposals in ascending order
             remaining = sorted(set(range(g)) - set(assign[:n_vis].tolist()))
             assert assign[n_vis:].tolist() == remaining
+
+
+class TestFusedHeadArgmax:
+    def test_matches_xla_argmax(self, rng):
+        from deepsvg_tpu.ops.head import fused_head_argmax
+
+        R, D, NC, NA, V = 64, 32, 7, 5, 17
+        x = jnp.asarray(rng.standard_normal((R, D)), jnp.float32)
+        wc = jnp.asarray(rng.standard_normal((D, NC)) * 0.1, jnp.float32)
+        bc = jnp.asarray(rng.standard_normal(NC) * 0.1, jnp.float32)
+        wa = jnp.asarray(rng.standard_normal((D, NA * V)) * 0.1, jnp.float32)
+        ba = jnp.asarray(rng.standard_normal(NA * V) * 0.1, jnp.float32)
+        ids = np.asarray(fused_head_argmax(x, wc, bc, wa, ba, n_commands=NC,
+                                           n_args=NA, tile_rows=16))
+        ref_cmd = np.argmax(np.asarray(x @ wc + bc), axis=-1)
+        ref_args = np.argmax(
+            np.asarray(x @ wa + ba).reshape(R, NA, V), axis=-1
+        )
+        assert (ids[:, 0] == ref_cmd).all()
+        assert (ids[:, 1:] == ref_args).all()
+
+    def test_model_greedy_sample_same_with_either_head(self, rng):
+        """one_shot greedy output identical with fused-argmax vs logits+argmax."""
+        import dataclasses
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model import init_and_forward, make_batch, small_cfg
+
+        from deepsvg_tpu.models import SVGTransformer
+        from deepsvg_tpu.models.sample import one_shot_sample
+
+        cfg_x = small_cfg(encode_stages=2, decode_stages=2, use_vae=False)
+        cfg_p = dataclasses.replace(cfg_x, attention_impl="pallas")
+        cmds, args = make_batch(rng, cfg_x)
+        model_x = SVGTransformer(cfg_x)
+        variables = model_x.init({"params": jax.random.PRNGKey(0)}, cmds, args, cmds, args)
+        c1, a1 = one_shot_sample(model_x, variables, commands_enc=cmds, args_enc=args)
+        model_p = SVGTransformer(cfg_p)
+        c2, a2 = one_shot_sample(model_p, variables, commands_enc=cmds, args_enc=args)
+        assert (np.asarray(c1) == np.asarray(c2)).all()
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))

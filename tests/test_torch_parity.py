@@ -124,8 +124,10 @@ def transplant(torch_model) -> dict:
             },
             "decoder": stack("decoder.decoder", 4, dec_layer),
             "fcn": {
-                "command_fcn": dense("decoder.fcn.command_fcn"),
-                "args_fcn": dense("decoder.fcn.args_fcn"),
+                "command_kernel": sd["decoder.fcn.command_fcn.weight"].T,
+                "command_bias": sd["decoder.fcn.command_fcn.bias"],
+                "args_kernel": sd["decoder.fcn.args_fcn.weight"].T,
+                "args_bias": sd["decoder.fcn.args_fcn.bias"],
             },
         },
     }
