@@ -91,12 +91,18 @@ class _TransformerLayerBase(nn.Module):
         return {k: v.astype(self.dtype) for k, v in p.items()}
 
     def _attention_xla(self, xn, key_pad, causal, deterministic, p):
-        from ..ops.attention import mha_reference
+        from ..ops.attention import mha_blockpacked, mha_reference
 
         rng = (
             self.make_rng("dropout")
             if (not deterministic and self.dropout > 0.0) else None
         )
+        # measured: the block-packed formulation (ops.attention.mha_blockpacked)
+        # is a net LOSS for training — its tile_b-times-larger score tensors get
+        # saved for backward and the extra HBM traffic outweighs the MXU
+        # efficiency gain — so the differentiable path stays on the standard
+        # einsum formulation (docs/PERFORMANCE.md)
+        del mha_blockpacked
         return mha_reference(
             xn, p["wqkv"], p["bqkv"], p["wo"], p["bo"], key_pad, self.n_heads,
             causal=causal,

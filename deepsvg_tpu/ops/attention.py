@@ -146,6 +146,62 @@ def fused_mha(
     )(x, wqkv, bqkv, wo, bo, mask.reshape(b // tile_b, 1, rows))
 
 
+def mha_blockpacked(x, wqkv, bqkv, wo, bo, mask, n_heads, causal=False,
+                    dropout_rate=0.0, dropout_rng=None, tile_b=None):
+    """Block-packed attention in *pure XLA* — the training-path counterpart of
+    :func:`fused_mha`.
+
+    Packs ``tile_b`` sequences into one row block so the score and value
+    matmuls run at full MXU shape ([rows, hd] x [hd, rows] instead of
+    thousands of [S, hd] x [hd, S]); cross-sequence terms are killed by a
+    block-diagonal additive mask. Unlike the Pallas kernel this composes with
+    autodiff and attention-weight dropout, so it serves the training step.
+    FLOPs on scores inflate by ``tile_b`` but MXU utilization improves ~16x —
+    a large net win at DeepSVG shapes.
+    """
+    b, s, d = x.shape
+    if tile_b is None:
+        tile_b = pick_tile_b(b, s)
+    head_dim = d // n_heads
+    rows = tile_b * s
+    nb = b // tile_b
+
+    qkv = (x.reshape(-1, d) @ wqkv + bqkv).reshape(nb, rows, 3 * d)
+
+    # block-diagonal (+ causal) structure and key padding, combined
+    r = jnp.arange(rows)
+    allowed = (r[:, None] // s) == (r[None, :] // s)
+    if causal:
+        allowed = allowed & ((r[None, :] % s) <= (r[:, None] % s))
+    key_pad = (
+        mask.reshape(nb, 1, rows)
+        if mask is not None else jnp.zeros((nb, 1, rows), jnp.float32)
+    )
+    big_mask = jnp.where(allowed[None], key_pad, -jnp.inf)  # [nb, rows, rows]
+
+    def head(h):
+        q = qkv[:, :, h * head_dim : (h + 1) * head_dim] * (head_dim ** -0.5)
+        k = qkv[:, :, d + h * head_dim : d + (h + 1) * head_dim]
+        v = qkv[:, :, 2 * d + h * head_dim : 2 * d + (h + 1) * head_dim]
+        scores = jnp.einsum("brd,bkd->brk", q, k, preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(scores + big_mask, axis=-1).astype(x.dtype)
+        return p, v
+
+    ctx_heads = []
+    drop_rngs = (
+        jax.random.split(dropout_rng, n_heads)
+        if (dropout_rate > 0.0 and dropout_rng is not None) else [None] * n_heads
+    )
+    for h in range(n_heads):
+        p, v = head(h)
+        if dropout_rate > 0.0 and drop_rngs[h] is not None:
+            keep = jax.random.bernoulli(drop_rngs[h], 1.0 - dropout_rate, p.shape)
+            p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        ctx_heads.append(jnp.einsum("brk,bkd->brd", p, v))
+    ctx = jnp.concatenate(ctx_heads, axis=-1).reshape(-1, d)
+    return ((ctx @ wo) + bo).reshape(b, s, d).astype(x.dtype)
+
+
 def mha_reference(x, wqkv, bqkv, wo, bo, mask, n_heads, causal=False,
                   dropout_rate=0.0, dropout_rng=None):
     """Plain-XLA equivalent of :func:`fused_mha` (tests + training path; the

@@ -149,3 +149,29 @@ class TestFusedHeadArgmax:
         c2, a2 = one_shot_sample(model_p, variables, commands_enc=cmds, args_enc=args)
         assert (np.asarray(c1) == np.asarray(c2)).all()
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
+
+
+class TestBlockpackedMHA:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_reference(self, rng, causal):
+        from deepsvg_tpu.ops.attention import mha_blockpacked, mha_reference
+
+        b, s, d, h = 16, 8, 32, 4
+        x, wqkv, bqkv, wo, bo = rand_inputs(rng, b, s, d)
+        mask = np.zeros((b, s), np.float32)
+        mask[:, 6:] = -np.inf
+        mask = jnp.asarray(mask)
+        ref = mha_reference(x, wqkv, bqkv, wo, bo, mask, h, causal=causal)
+        got = mha_blockpacked(x, wqkv, bqkv, wo, bo, mask, h, causal=causal, tile_b=4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def test_gradients_match(self, rng):
+        from deepsvg_tpu.ops.attention import mha_blockpacked, mha_reference
+
+        b, s, d, h = 8, 8, 32, 4
+        x, wqkv, bqkv, wo, bo = rand_inputs(rng, b, s, d)
+        mask = jnp.zeros((b, s), jnp.float32)
+
+        g_ref = jax.grad(lambda x_: jnp.sum(mha_reference(x_, wqkv, bqkv, wo, bo, mask, h) ** 2))(x)
+        g_bp = jax.grad(lambda x_: jnp.sum(mha_blockpacked(x_, wqkv, bqkv, wo, bo, mask, h, tile_b=4) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g_bp), np.asarray(g_ref), atol=2e-4)
