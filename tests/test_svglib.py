@@ -330,3 +330,91 @@ class TestGrid:
         grid = make_grid(svgs, num_cols=2)
         assert grid.viewbox.wh.tolist() == [48, 48]
         assert len(grid) == 4
+
+
+class TestSmoothing:
+    def test_smooth_interpolates_knots(self):
+        """Thomas-algorithm smoothing keeps knots and produces cubics."""
+        path = SVGPath.from_str(
+            "M 0 0 L 5 8 L 10 0 L 15 8 L 20 0"
+        ).path
+        knots_before = [c.end_pos.tolist() for c in path.path_commands]
+        path.smooth()
+        assert all(isinstance(c, SVGCommandBezier) for c in path.path_commands)
+        knots_after = [c.end_pos.tolist() for c in path.path_commands]
+        assert knots_after == knots_before
+        # tangent continuity at interior knots: out-handle mirrors in-handle
+        for c1, c2 in zip(path.path_commands[:-1], path.path_commands[1:]):
+            t1 = (c1.end_pos - c1.control2).normalize()
+            t2 = (c2.control1 - c2.start_pos).normalize()
+            assert t1.dot(t2) > 0.99
+
+    def test_filter_duplicates(self):
+        path = SVGPath.from_str(
+            "M 0 0 L 0.05 0 L 0.1 0 L 5 0 L 5.05 0 L 10 0"
+        ).path
+        n_before = len(path.path_commands)
+        path.filter_duplicates(min_dist=0.2)
+        assert len(path.path_commands) < n_before
+
+    def test_duplicate_extremities(self):
+        path = SVGPath.from_str("M 0 0 L 5 5").path
+        path.duplicate_extremities()
+        assert len(path.path_commands) == 3
+        assert path.path_commands[0].start_pos.isclose(path.path_commands[0].end_pos)
+
+
+class TestSplineSet:
+    def test_load_splineset(self):
+        spline = (
+            "Foo: Bar\nSplineSet\n"
+            "100 200 m 0\n"
+            " 300 200 l 1\n"
+            " 250 100 250 80 100 200 c 1\n"
+            "EndSplineSet\n"
+        )
+        svg = SVG.load_splineset(spline, width=400, height=400)
+        assert not svg.empty()
+        path = svg[0].path
+        # y-flip applied: 200 -> 200 (400 - 200)
+        assert path.start_pos.tolist() == [100.0, 200.0]
+        assert isinstance(path.path_commands[-1], SVGCommandBezier)
+
+
+class TestDocumentOps:
+    def test_to_points_sorted_unique(self):
+        svg = SVG.load_svg(DOLPHIN).canonicalize(normalize=True)
+        pts = svg.to_points(sort=True)
+        assert pts.ndim == 2 and pts.shape[1] == 2
+        # lexicographically sorted by (y, x)
+        keys = pts[:, 1] * 1e6 + pts[:, 0]
+        assert (np.diff(keys) > 0).all()
+
+    def test_group_overlapping_paths(self):
+        outer = SVGPath.from_str("M 0 0 L 20 0 L 20 20 L 0 20 Z", add_closing=True)
+        inner = SVGPath.from_str("M 5 5 L 15 5 L 15 15 L 5 15 Z", add_closing=True)
+        outer.path.set_filling(True)   # FILL
+        inner.path.set_filling(False)  # ERASE
+        svg = SVG([outer, inner], viewbox=Bbox(24))
+        grouped = svg.group_overlapping_paths()
+        # the erase hole is folded into the fill path's group
+        assert len(grouped) == 1
+        assert len(grouped[0].svg_paths) == 2
+
+    def test_add_path_group_chains_origin(self):
+        svg = SVG([], viewbox=Bbox(24))
+        g1 = SVGPath.from_str("M 1 1 L 2 2")
+        g2 = SVGPath.from_str("M 5 5 L 6 6")
+        svg.add_path_group(g1)
+        svg.add_path_group(g2)
+        assert len(svg) == 2
+        assert g2.origin.isclose(g1.end_pos)
+
+    def test_unit_shapes(self):
+        c = SVG.unit_circle()
+        s = SVG.unit_square()
+        assert c.viewbox.wh.tolist() == [1, 1]
+        pts = c[0].path.sample_points(max_dist=0.01)
+        radii = np.linalg.norm(pts - 0.5, axis=-1)
+        np.testing.assert_allclose(radii, 0.5, atol=0.01)
+        assert s.total_length() > 0
