@@ -91,23 +91,44 @@ class _TransformerLayerBase(nn.Module):
         return {k: v.astype(self.dtype) for k, v in p.items()}
 
     def _attention_xla(self, xn, key_pad, causal, deterministic, p):
-        from ..ops.attention import mha_blockpacked, mha_reference
+        """Differentiable attention (training + any non-fused inference).
 
+        Under the Pallas backend this uses the custom-vjp fused kernels
+        (forward AND backward in VMEM, dropout via the on-chip PRNG with the
+        mask regenerated in backward — flash-style, nothing saved but the
+        inputs). Elsewhere, the einsum formulation.
+
+        Note: the pure-XLA block-packed variant (ops.attention.mha_blockpacked)
+        was measured and is a net LOSS for training — its tile_b-times-larger
+        probability tensors become backward residuals (docs/PERFORMANCE.md).
+        """
+        from ..ops.attention import mha_reference, pick_tile_b
+
+        dropout_rate = self.dropout if not deterministic else 0.0
         rng = (
-            self.make_rng("dropout")
-            if (not deterministic and self.dropout > 0.0) else None
+            self.make_rng("dropout") if dropout_rate > 0.0 else None
         )
-        # measured: the block-packed formulation (ops.attention.mha_blockpacked)
-        # is a net LOSS for training — its tile_b-times-larger score tensors get
-        # saved for backward and the extra HBM traffic outweighs the MXU
-        # efficiency gain — so the differentiable path stays on the standard
-        # einsum formulation (docs/PERFORMANCE.md)
-        del mha_blockpacked
+
+        if self.attn_impl == "pallas":
+            from ..ops.attention_vjp import fused_mha_train
+
+            b, s, _ = xn.shape
+            mask = (
+                key_pad.astype(jnp.float32)
+                if key_pad is not None else jnp.zeros((b, s), jnp.float32)
+            )
+            if rng is not None:
+                seed = jax.random.randint(rng, (1,), 0, 2**30, jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            return fused_mha_train(
+                xn, p["wqkv"], p["bqkv"], p["wo"], p["bo"], mask, seed,
+                self.n_heads, pick_tile_b(b, s), causal, dropout_rate,
+            )
+
         return mha_reference(
             xn, p["wqkv"], p["bqkv"], p["wo"], p["bo"], key_pad, self.n_heads,
-            causal=causal,
-            dropout_rate=self.dropout if not deterministic else 0.0,
-            dropout_rng=rng,
+            causal=causal, dropout_rate=dropout_rate, dropout_rng=rng,
         )
 
     def _attention_cached(self, x_t, key_pad, decode_index, decode_len, p):
