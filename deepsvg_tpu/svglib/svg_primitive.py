@@ -52,6 +52,23 @@ class SVGPrimitive:
         self.fill = fill
         return self
 
+    # transforms over the shape's geoms — the reference's primitives silently
+    # lack these (svg_primitive.py has none), so any pipeline call on a
+    # document still holding raw shapes crashes there; here every shape
+    # supports translate/scale directly
+    def _geoms(self):
+        raise NotImplementedError
+
+    def translate(self, vec):
+        for g in self._geoms():
+            g.translate(vec)
+        return self
+
+    def scale(self, factor):
+        for g in self._geoms():
+            g.scale(factor)
+        return self
+
     def to_path(self):
         raise NotImplementedError
 
@@ -71,6 +88,9 @@ class SVGEllipse(SVGPrimitive):
         super().__init__(*args, **kwargs)
         self.center = center
         self.radius = radius
+
+    def _geoms(self):
+        return [self.center, self.radius]
 
     def __repr__(self):
         return f"SVGEllipse(c={self.center} r={self.radius})"
@@ -125,6 +145,9 @@ class SVGRectangle(SVGPrimitive):
         self.xy = xy
         self.wh = wh
 
+    def _geoms(self):
+        return [self.xy, self.wh]
+
     def __repr__(self):
         return f"SVGRectangle(xy={self.xy} wh={self.wh})"
 
@@ -160,6 +183,9 @@ class SVGLine(SVGPrimitive):
         self.start_pos = start_pos
         self.end_pos = end_pos
 
+    def _geoms(self):
+        return [self.start_pos, self.end_pos]
+
     def __repr__(self):
         return f"SVGLine(xy1={self.start_pos} xy2={self.end_pos})"
 
@@ -185,6 +211,9 @@ class SVGPolyline(SVGPrimitive):
     def __init__(self, points: List[Point], *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.points = points
+
+    def _geoms(self):
+        return self.points
 
     def __repr__(self):
         return f"{type(self).__name__}(points={self.points})"

@@ -177,3 +177,66 @@ class TestTrainLoop:
         assert cfg2.batch_size == 8
         # nested model dataclass round trip
         assert cfg2.model_cfg.d_model == 32
+
+
+class TestRawSVGPipeline:
+    """End-to-end raw-SVG path: preprocess CLI + SVGDataset with on-the-fly
+    simplification, on the reference repo's in-tree SVG fixtures."""
+
+    def test_preprocess_cli(self, tmp_path):
+        import argparse
+        import glob
+        import shutil
+
+        import pandas as pd
+
+        from deepsvg_tpu.data.preprocess import main as preprocess_main
+
+        src = tmp_path / "svgs"
+        out = tmp_path / "simplified"
+        src.mkdir(); out.mkdir()
+        for f in sorted(glob.glob("/root/reference/docs/frames/*.svg"))[:4]:
+            shutil.copy(f, src)
+        meta = tmp_path / "meta.csv"
+        args = argparse.Namespace(
+            data_folder=str(src), output_folder=str(out),
+            output_meta_file=str(meta), workers=1,
+        )
+        preprocess_main(args)
+        df = pd.read_csv(meta)
+        assert len(df) == 4
+        assert {"id", "total_len", "nb_groups", "max_len_group"} <= set(df.columns)
+        assert (df.total_len > 0).all()
+        assert len(glob.glob(str(out / "*.svg"))) == 4
+
+    def test_svg_dataset_from_preprocessed(self, tmp_path):
+        import argparse
+        import glob
+        import shutil
+
+        from deepsvg_tpu.data.dataset import SVGDataset
+        from deepsvg_tpu.data.preprocess import main as preprocess_main
+
+        src = tmp_path / "svgs"; out = tmp_path / "simplified"
+        src.mkdir(); out.mkdir()
+        for f in sorted(glob.glob("/root/reference/docs/frames/*.svg"))[:4]:
+            shutil.copy(f, src)
+        meta = tmp_path / "meta.csv"
+        preprocess_main(argparse.Namespace(
+            data_folder=str(src), output_folder=str(out),
+            output_meta_file=str(meta), workers=1,
+        ))
+
+        g, s = 8, 30
+        ds = SVGDataset(
+            str(out), str(meta), ["commands", "args"], g, s,
+            already_preprocessed=True,
+        )
+        if len(ds) == 0:
+            pytest.skip("fixtures exceed sequence budget")
+        item = ds[0]
+        assert item["commands"].shape == (g, s + 2)
+        assert item["args"].shape == (g, s + 2, 11)
+        # quantized coordinates
+        a = item["args"]
+        assert a[a != -1].min() >= 0 and a[a != -1].max() <= 255
