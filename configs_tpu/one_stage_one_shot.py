@@ -1,0 +1,15 @@
+"""One-stage one-shot baseline (reference model/config.py:83-89)."""
+from deepsvg_tpu.models.config import one_stage_one_shot
+
+from .default_icons import Config as IconsConfig
+
+
+def make_model_config():
+    return one_stage_one_shot()
+
+
+class Config(IconsConfig):
+    def __init__(self, num_devices=1):
+        super().__init__(num_devices=num_devices)
+        self.model_cfg = make_model_config()
+        self.model_args = self.model_cfg.get_model_args()
