@@ -199,3 +199,43 @@ class TestAnimate:
         a = jax.tree.leaves(session.variables["params"])[0]
         b = jax.tree.leaves(new_session.variables["params"])[0]
         assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+class TestLoadSession:
+    def test_load_session_from_config_and_weights(self, tmp_path, session):
+        """load_session round trip: save weights, rebuild from an experiment
+        config module, decode."""
+        import jax
+
+        from deepsvg_tpu.inference import load_session
+        from deepsvg_tpu.training.checkpoint import save_model
+
+        # config module matching the session's tiny model
+        cfg_mod = tmp_path / "tiny_cfg.py"
+        cfg_mod.write_text(
+            "from deepsvg_tpu.models.config import ModelConfig\n"
+            "from deepsvg_tpu.training.config import TrainConfig\n"
+            "class Config(TrainConfig):\n"
+            "    def __init__(self, num_devices=1):\n"
+            "        super().__init__(num_devices)\n"
+            "        self.model_cfg = ModelConfig(\n"
+            "            encode_stages=2, decode_stages=2, use_vae=False,\n"
+            "            max_num_groups=3, max_seq_len=6, d_model=32,\n"
+            "            dim_feedforward=64, dim_z=16, n_layers=1,\n"
+            "            n_layers_decode=1, n_heads=4, dropout=0.0)\n"
+            "        self.model_args = self.model_cfg.get_model_args()\n"
+        )
+        import sys
+
+        sys.path.insert(0, str(tmp_path))
+        weights = tmp_path / "weights.bin"
+        save_model(str(weights), session.variables["params"])
+        s2 = load_session("tiny_cfg", str(weights))
+        z = jax.numpy.ones((1, 16))
+        svgs = s2.decode(z)
+        assert len(svgs) == 1
+        # loaded weights produce identical outputs to the original session
+        c1, _ = session._decode(session.variables, z=z)
+        c2, _ = s2._decode(s2.variables, z=z)
+        assert (np.asarray(c1) == np.asarray(c2)).all()
+        sys.path.pop(0)
