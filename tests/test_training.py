@@ -136,3 +136,20 @@ class TestParallel:
         # reproducible
         b2 = ds.get_batch(range(8))
         assert (b["commands"] == b2["commands"]).all()
+
+
+class TestMultiHostInput:
+    def test_global_batch_single_host_degrades_to_shard(self, rng):
+        from deepsvg_tpu.parallel.mesh import global_batch_from_local, make_mesh
+
+        mesh = make_mesh(8)
+        batch = {"x": np.arange(32, dtype=np.float32).reshape(32, 1)}
+        out = global_batch_from_local(batch, mesh)
+        assert out["x"].shape == (32, 1)
+        np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
+
+    def test_mesh_2d(self):
+        from deepsvg_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8, model_axis="model", n_model=2)
+        assert mesh.shape == {"data": 4, "model": 2}
