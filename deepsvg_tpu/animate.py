@@ -16,7 +16,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from .inference import InferenceSession, easein_easeout
+from .inference import InferenceSession
 from .svglib.geom import Bbox
 from .svglib.svg import SVG
 from .svglib.svg_path import SVGPath

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..svgtensor.constants import CMD_C, CMD_EOS, CMD_L, IndexArgs, N_COMMANDS
+from ..svgtensor.constants import CMD_C, CMD_L, IndexArgs, N_COMMANDS
 
 # Monomial-basis coefficient matrices per command (difflib/tensor.py:197-218).
 # coeffs = Q[cmd] @ [start, control1, control2, end]  (4 control rows, 2 cols)

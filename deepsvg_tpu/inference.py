@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models.config import ModelConfig
 from .models.model import SVGTransformer
 from .models.sample import flatten_groups_np, greedy_sample
 from .svglib.geom import Bbox

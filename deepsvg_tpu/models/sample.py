@@ -11,7 +11,6 @@ token, model.py:430-436).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

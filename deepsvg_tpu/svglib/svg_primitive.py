@@ -13,8 +13,8 @@ from typing import List, Optional
 import numpy as np
 
 from .geom import Angle, Bbox, Flag, Point, Radius, Size, union_bbox
-from .svg_command import SVGCommandArc, SVGCommandBezier, SVGCommandLine
-from .svg_path import Filling, PolygonGrid, SVGPath
+from .svg_command import SVGCommandArc, SVGCommandLine
+from .svg_path import PolygonGrid, SVGPath
 
 _FLOAT_RE = re.compile(r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?")
 

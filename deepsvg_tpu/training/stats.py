@@ -5,7 +5,6 @@ from __future__ import annotations
 import datetime
 import time
 from collections import defaultdict, deque
-from typing import Optional
 
 
 class SmoothedValue:

@@ -7,16 +7,14 @@ lr schedule — is one jitted (optionally pjit-sharded) function.
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.config import ModelConfig
 from ..models.loss import svg_loss
 from ..models.model import SVGTransformer
 
