@@ -93,8 +93,11 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
         if found:
             print(f"Resuming model at step {int(state.step)}")
 
-    # device mesh: DP over all requested devices
+    # device mesh: DP over the requested devices, clamped to a divisor of the
+    # batch size (the batch axis shards evenly or not at all)
     n_dev = min(cfg.num_devices, jax.device_count())
+    while n_dev > 1 and cfg.batch_size % n_dev != 0:
+        n_dev -= 1
     mesh = make_mesh(n_dev) if n_dev > 1 else None
     if mesh is not None:
         step_fn = make_parallel_train_step(model, optimizer, model_args, mesh)

@@ -240,3 +240,87 @@ class TestRawSVGPipeline:
         # quantized coordinates
         a = item["args"]
         assert a[a != -1].min() >= 0 and a[a != -1].max() <= 255
+
+
+class TestCLI:
+    def test_train_cli_subprocess(self, tmp_path):
+        """The reference-style CLI end to end: config module selected by path,
+        dataset loaded via cfg.dataloader_module, a few steps, checkpoint."""
+        import subprocess
+        import sys
+        import pickle
+
+        import pandas as pd
+
+        from deepsvg_tpu.data.synthetic import _random_path
+
+        # tiny on-disk tensor dataset
+        data_dir = tmp_path / "tensors"; data_dir.mkdir()
+        rng = np.random.default_rng(0)
+        rows = []
+        for i in range(16):
+            t = _random_path(rng, 5)
+            with open(data_dir / f"i{i}.pkl", "wb") as f:
+                pickle.dump({"tensors": [t], "fillings": [0]}, f)
+            rows.append({"id": f"i{i}", "total_len": 6, "nb_groups": 1,
+                         "max_len_group": 6})
+        meta = tmp_path / "meta.csv"
+        pd.DataFrame(rows).to_csv(meta, index=False)
+
+        # experiment config module
+        cfg_dir = tmp_path / "cfgs"; cfg_dir.mkdir()
+        (cfg_dir / "__init__.py").write_text("")
+        (cfg_dir / "tiny.py").write_text(f'''
+from deepsvg_tpu.models.config import ModelConfig
+from deepsvg_tpu.training.config import TrainConfig
+
+class Config(TrainConfig):
+    def __init__(self, num_devices=1):
+        super().__init__(num_devices)
+        self.model_cfg = ModelConfig(
+            encode_stages=2, decode_stages=2, use_vae=False,
+            max_num_groups=2, max_seq_len=6, d_model=32, dim_feedforward=64,
+            dim_z=16, n_layers=1, n_layers_decode=1, n_heads=4, dropout=0.0)
+        self.model_args = self.model_cfg.get_model_args()
+        self.data_dir = {str(data_dir)!r}
+        self.meta_filepath = {str(meta)!r}
+        self.max_num_groups = 2
+        self.max_seq_len = 6
+        self.batch_size = 4
+        self.num_steps = 3
+        self.num_epochs = 100
+        self.log_every = 1
+        self.val_every = 1000
+        self.ckpt_every = 2
+        self.warmup_steps = 1
+        self.loader_num_workers = 1
+
+    def get_weights(self, step, epoch):
+        return {{"kl_tolerance": 0.1, "loss_kl_weight": 1.0,
+                "loss_visibility_weight": 1.0, "loss_cmd_weight": 1.0,
+                "loss_args_weight": 2.0}}
+''')
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = f"{tmp_path}:/root/repo:" + env.get("PYTHONPATH", "")
+        # force cpu via a sitecustomize-resistant wrapper
+        runner = tmp_path / "run.py"
+        runner.write_text(
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "import sys\n"
+            "from deepsvg_tpu.training.train import main\n"
+            "sys.argv = ['train', '--config-module', 'cfgs.tiny',\n"
+            f"            '--log-dir', {str(tmp_path / 'logs')!r}]\n"
+            "main()\n"
+        )
+        out = subprocess.run(
+            [sys.executable, str(runner)], env=env, capture_output=True,
+            text=True, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "[train] step" in out.stdout
+        from deepsvg_tpu.training.checkpoint import latest_ckpt
+
+        ckpt_dir = tmp_path / "logs" / "models" / "cfgs" / "tiny"
+        assert latest_ckpt(str(ckpt_dir)) is not None
