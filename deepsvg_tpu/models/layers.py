@@ -181,11 +181,7 @@ class EncoderLayerImproved(_TransformerLayerBase):
         p = self._params()
         b, s, _ = src.shape
 
-        use_fused = (
-            self.attn_impl == "pallas" and deterministic
-            and not (self.use_label and label_emb is not None)
-        )
-        if use_fused:
+        if self.attn_impl == "pallas" and deterministic:
             from ..ops.attention import pick_tile_b
             from ..ops.layer import fused_encoder_layer
 
@@ -193,11 +189,15 @@ class EncoderLayerImproved(_TransformerLayerBase):
                 key_pad.astype(jnp.float32)
                 if key_pad is not None else jnp.zeros((b, s), jnp.float32)
             )
+            seq_bias = None
+            if self.use_label and label_emb is not None:
+                le = label_emb[:, 0, :] if label_emb.ndim == 3 else label_emb
+                seq_bias = le @ p["glob2_kernel"] + p["glob2_bias"]
             return fused_encoder_layer(
                 src, p["norm1"], p["wqkv"], p["bqkv"], p["wo"], p["bo"],
                 p["norm2"], p["ff1_kernel"], p["ff1_bias"], p["ff2_kernel"],
                 p["ff2_bias"], mask, n_heads=self.n_heads,
-                tile_b=pick_tile_b(b, s),
+                tile_b=pick_tile_b(b, s), seq_bias=seq_bias,
             )
 
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
@@ -246,11 +246,7 @@ class DecoderLayerGlobalImproved(_TransformerLayerBase):
                 tgt = tgt + (label_emb @ p["glob2_kernel"] + p["glob2_bias"])
             return tgt + self._ffn_xla(tgt, True, p)
 
-        use_fused = (
-            self.attn_impl == "pallas" and deterministic
-            and not (self.use_label and label_emb is not None)
-        )
-        if use_fused:
+        if self.attn_impl == "pallas" and deterministic:
             from ..ops.attention import pick_tile_b
             from ..ops.layer import fused_decoder_layer
 
@@ -258,11 +254,15 @@ class DecoderLayerGlobalImproved(_TransformerLayerBase):
                 key_pad.astype(jnp.float32)
                 if key_pad is not None else jnp.zeros((b, s), jnp.float32)
             )
+            extra_bias = None
+            if self.use_label and label_emb is not None:
+                le = label_emb[:, 0, :] if label_emb.ndim == 3 else label_emb
+                extra_bias = le @ p["glob2_kernel"] + p["glob2_bias"]
             return fused_decoder_layer(
                 tgt, z2, p["norm1"], p["wqkv"], p["bqkv"], p["wo"], p["bo"],
                 wg, bg, p["norm2"], p["ff1_kernel"], p["ff1_bias"],
                 p["ff2_kernel"], p["ff2_bias"], mask, n_heads=self.n_heads,
-                tile_b=pick_tile_b(b, s), causal=causal,
+                tile_b=pick_tile_b(b, s), causal=causal, extra_bias=extra_bias,
             )
 
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)

@@ -76,11 +76,16 @@ def _ffn_block(x_res, ln2_s, ln2_b, w1_ref, b1_ref, w2_ref, b2_ref, dtype):
     return ff + b2_ref[:].astype(jnp.float32)
 
 
-def _encoder_layer_kernel(
-    x_ref, ln1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, ln2_ref,
+def _layer_kernel(
+    x_ref, bias_ref, ln1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, ln2_ref,
     w1_ref, b1_ref, w2_ref, b2_ref, mask_ref, out_ref,
-    *, n_heads, seq_len, d_model, tile_b, causal,
+    *, n_heads, seq_len, d_model, tile_b, causal, use_bias,
 ):
+    """Shared encoder/decoder layer body. ``bias_ref [tile_b, D]`` carries the
+    per-sequence additive injections (decoder latent, label conditioning) —
+    constant over the sequence axis, so they fold into one broadcast add
+    between the attention and FF blocks (addition commutes; exact parity with
+    the reference's separate injections)."""
     rows = tile_b * seq_len
     dtype = x_ref.dtype
     x = x_ref[:].reshape(rows, d_model).astype(jnp.float32)
@@ -91,34 +96,11 @@ def _encoder_layer_kernel(
     x = x + _attention_block(xn, wqkv_ref, bqkv_ref, wo_ref, bo_ref, big_mask,
                              n_heads, d_model)
 
-    ln2 = ln2_ref[:].astype(jnp.float32)
-    x = x + _ffn_block(x, ln2[0:1], ln2[1:2], w1_ref, b1_ref, w2_ref, b2_ref, dtype)
-    out_ref[:] = x.astype(dtype).reshape(tile_b, seq_len, d_model)
-
-
-def _decoder_layer_kernel(
-    x_ref, z_ref, ln1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-    wg_ref, bg_ref, ln2_ref, w1_ref, b1_ref, w2_ref, b2_ref, mask_ref, out_ref,
-    *, n_heads, seq_len, d_model, tile_b, causal,
-):
-    rows = tile_b * seq_len
-    dtype = x_ref.dtype
-    x = x_ref[:].reshape(rows, d_model).astype(jnp.float32)
-
-    ln1 = ln1_ref[:].astype(jnp.float32)
-    big_mask = _make_big_mask(mask_ref, rows, seq_len, causal)
-    xn = _layer_norm_f32(x, ln1[0:1], ln1[1:2]).astype(dtype)
-    x = x + _attention_block(xn, wqkv_ref, bqkv_ref, wo_ref, bo_ref, big_mask,
-                             n_heads, d_model)
-
-    # latent injection: z [tile_b, dz] -> linear -> broadcast over sequence
-    z = z_ref[:]
-    inj = jnp.dot(z, wg_ref[:], preferred_element_type=jnp.float32)
-    inj = inj + bg_ref[:].astype(jnp.float32)  # [tile_b, D]
-    inj_rows = jnp.broadcast_to(
-        inj[:, None, :], (tile_b, seq_len, d_model)
-    ).reshape(rows, d_model)
-    x = x + inj_rows
+    if use_bias:
+        inj = bias_ref[:].astype(jnp.float32)  # [tile_b, D]
+        x = x + jnp.broadcast_to(
+            inj[:, None, :], (tile_b, seq_len, d_model)
+        ).reshape(rows, d_model)
 
     ln2 = ln2_ref[:].astype(jnp.float32)
     x = x + _ffn_block(x, ln2[0:1], ln2[1:2], w1_ref, b1_ref, w2_ref, b2_ref, dtype)
@@ -135,12 +117,15 @@ def _common_specs(d, dff, tile_b, s):
 @functools.partial(
     jax.jit, static_argnames=("n_heads", "tile_b", "causal", "interpret")
 )
-def fused_encoder_layer(
-    x, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2, mask,
+def fused_layer(
+    x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2, mask,
     n_heads: int, tile_b: int = 8, causal: bool = False, interpret: bool = False,
 ):
-    """x [B, S, D]; ln1/ln2 are stacked [2, D] (scale, bias); mask [B, S]
-    additive float32."""
+    """One fused transformer layer. ``seq_bias [B, D]`` (or None) is the
+    combined per-sequence injection — decoder latent ``z @ Wg + bg`` and/or
+    label conditioning ``label_emb @ W2 + b2`` — computed outside (tiny
+    matmuls) and broadcast-added in-kernel. ln1/ln2 are stacked [2, D]; mask
+    is [B, S] additive float32."""
     b, s, d = x.shape
     dff = w1.shape[-1]
     assert b % tile_b == 0
@@ -148,9 +133,13 @@ def fused_encoder_layer(
         interpret = True
     rows, full = _common_specs(d, dff, tile_b, s)
 
+    use_bias = seq_bias is not None
+    if seq_bias is None:
+        seq_bias = jnp.zeros((b, d), x.dtype)
+
     kernel = functools.partial(
-        _encoder_layer_kernel, n_heads=n_heads, seq_len=s, d_model=d,
-        tile_b=tile_b, causal=causal,
+        _layer_kernel, n_heads=n_heads, seq_len=s, d_model=d,
+        tile_b=tile_b, causal=causal, use_bias=use_bias,
     )
     return pl.pallas_call(
         kernel,
@@ -158,6 +147,7 @@ def fused_encoder_layer(
         grid=(b // tile_b,),
         in_specs=[
             pl.BlockSpec((tile_b, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             full(ln1.shape), full(wqkv.shape), full(bqkv.shape),
             full(wo.shape), full(bo.shape), full(ln2.shape),
             full(w1.shape), full(b1.shape), full(w2.shape), full(b2.shape),
@@ -165,43 +155,34 @@ def fused_encoder_layer(
         ],
         out_specs=pl.BlockSpec((tile_b, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2,
+    )(x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2,
       mask.reshape(b // tile_b, 1, rows))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_heads", "tile_b", "causal", "interpret")
-)
+def fused_encoder_layer(
+    x, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2, mask,
+    n_heads: int, tile_b: int = 8, causal: bool = False, interpret: bool = False,
+    seq_bias=None,
+):
+    """Encoder layer (optional label-injection bias)."""
+    return fused_layer(
+        x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2, mask,
+        n_heads=n_heads, tile_b=tile_b, causal=causal, interpret=interpret,
+    )
+
+
 def fused_decoder_layer(
     x, z, ln1, wqkv, bqkv, wo, bo, wg, bg, ln2, w1, b1, w2, b2, mask,
     n_heads: int, tile_b: int = 8, causal: bool = False, interpret: bool = False,
+    extra_bias=None,
 ):
-    """Decoder layer with latent injection: z [B, dz]."""
-    b, s, d = x.shape
-    dff = w1.shape[-1]
-    assert b % tile_b == 0
-    if jax.default_backend() == "cpu":
-        interpret = True
-    rows, full = _common_specs(d, dff, tile_b, s)
-
-    kernel = functools.partial(
-        _decoder_layer_kernel, n_heads=n_heads, seq_len=s, d_model=d,
-        tile_b=tile_b, causal=causal,
+    """Decoder layer: latent injection (+ optional label bias) folded into the
+    per-sequence bias."""
+    seq_bias = (z @ wg + bg).astype(x.dtype)
+    if extra_bias is not None:
+        seq_bias = seq_bias + extra_bias.astype(x.dtype)
+    return fused_layer(
+        x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2, mask,
+        n_heads=n_heads, tile_b=tile_b, causal=causal, interpret=interpret,
     )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
-        grid=(b // tile_b,),
-        in_specs=[
-            pl.BlockSpec((tile_b, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, z.shape[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            full(ln1.shape), full(wqkv.shape), full(bqkv.shape),
-            full(wo.shape), full(bo.shape), full(wg.shape), full(bg.shape),
-            full(ln2.shape), full(w1.shape), full(b1.shape), full(w2.shape),
-            full(b2.shape),
-            pl.BlockSpec((1, 1, rows), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_b, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(x, z, ln1, wqkv, bqkv, wo, bo, wg, bg, ln2, w1, b1, w2, b2,
-      mask.reshape(b // tile_b, 1, rows))
+

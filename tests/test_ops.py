@@ -276,3 +276,36 @@ class TestFusedMHATrain:
             state, res = step(state, batch, weights)
             losses.append(float(res["loss"]))
         assert losses[-1] < losses[0]
+
+
+class TestLabelConditionedFused:
+    def test_label_model_fused_matches_xla(self, rng):
+        """Label-conditioned model: fused layers (label bias folded into the
+        per-sequence injection) match the XLA path."""
+        import dataclasses
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model import init_and_forward, make_batch, small_cfg
+
+        from deepsvg_tpu.models import SVGTransformer
+
+        cfg_x = small_cfg(encode_stages=2, decode_stages=2, use_vae=False,
+                          label_condition=True, n_labels=10)
+        cfg_p = dataclasses.replace(cfg_x, attention_impl="pallas")
+        cmds, args = make_batch(rng, cfg_x)
+        label = jnp.asarray([1, 3])
+        model_x = SVGTransformer(cfg_x)
+        variables = model_x.init({"params": jax.random.PRNGKey(0)}, cmds, args,
+                                 cmds, args, label=label)
+        out_x = model_x.apply(variables, cmds, args, cmds, args, label=label)
+        out_p = SVGTransformer(cfg_p).apply(variables, cmds, args, cmds, args,
+                                            label=label)
+        np.testing.assert_allclose(
+            np.asarray(out_p["command_logits"]), np.asarray(out_x["command_logits"]),
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_p["args_logits"]), np.asarray(out_x["args_logits"]),
+            atol=2e-4,
+        )
