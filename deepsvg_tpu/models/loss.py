@@ -42,7 +42,8 @@ def svg_loss(output: dict, weights: dict, cfg: ModelConfig) -> dict:
     vis = M.visibility_mask(tgt_commands)                         # [N, G]
     pad = M.padding_mask(tgt_commands, extended=True) * vis[..., None].astype(jnp.float32)
 
-    cmd_logits, args_logits = output["command_logits"], output["args_logits"]
+    cmd_logits = output["command_logits"]
+    args_logits = output.get("args_logits")
 
     if cfg.decode_stages == 2:
         vis_logits = output["visibility_logits"]                  # [N, P, 2]
@@ -67,10 +68,16 @@ def svg_loss(output: dict, weights: dict, cfg: ModelConfig) -> dict:
     )
     loss_cmd = jnp.sum(ce_cmd * pad) / jnp.maximum(jnp.sum(pad), 1.0)
 
-    ce_args = optax.softmax_cross_entropy_with_integer_labels(
-        args_logits.astype(jnp.float32),
-        (tgt_a + 1).astype(jnp.int32),  # +1: PAD_VAL -1 -> class 0
-    )
+    if "args_ce" in output:
+        # fused softmax-CE head (ops/ce.py): the model already computed the
+        # per-token-per-slot CE against (tgt_args + 1) without materializing
+        # the argument logits
+        ce_args = output["args_ce"]
+    else:
+        ce_args = optax.softmax_cross_entropy_with_integer_labels(
+            args_logits.astype(jnp.float32),
+            (tgt_a + 1).astype(jnp.int32),  # +1: PAD_VAL -1 -> class 0
+        )
     loss_args = jnp.sum(ce_args * args_mask) / jnp.maximum(jnp.sum(args_mask), 1.0)
 
     loss += weights["loss_cmd_weight"] * loss_cmd + weights["loss_args_weight"] * loss_args

@@ -102,7 +102,10 @@ class FCN(nn.Module):
 
     ``argmax=True`` switches to the fused head+argmax kernel (ops/head.py):
     ids come back directly without materializing the [.., n_args, args_dim]
-    logits tensor (greedy-sampling hot path)."""
+    logits tensor (greedy-sampling hot path). ``ce_targets`` switches the
+    argument head to the fused softmax-CE kernel (ops/ce.py): the second
+    return value is then the per-token-per-slot CE ``[.., n_args]`` instead
+    of logits — the training hot path's memory wall removed."""
 
     d_model: int
     n_commands: int
@@ -111,7 +114,7 @@ class FCN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, out: jnp.ndarray, argmax: bool = False):
+    def __call__(self, out: jnp.ndarray, argmax: bool = False, ce_targets=None):
         init = nn.initializers.lecun_normal()
         zeros = nn.initializers.zeros
         wc = self.param("command_kernel", init, (self.d_model, self.n_commands), jnp.float32)
@@ -138,6 +141,10 @@ class FCN(nn.Module):
             return cmd_ids, args_ids
 
         cmd_logits = out @ wc + bc
+        if ce_targets is not None:
+            from ..ops.ce import args_ce
+
+            return cmd_logits, args_ce(out, wa, ba, ce_targets)
         args_logits = out @ wa + ba
         args_logits = args_logits.reshape(out.shape[:-1] + (self.n_args, self.args_dim))
         return cmd_logits, args_logits
@@ -284,7 +291,7 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, z, commands=None, args=None, label=None, deterministic=True,
                  decode_index=None, decode_groups=None, decode_key_pad=None,
-                 argmax_head=False):
+                 argmax_head=False, ce_targets=None):
         """``decode_index`` switches to the KV-cached single-token mode:
         ``commands/args`` then hold only the token at that position
         (``[N, G, 1]``) and ``decode_groups`` its running moveto count."""
@@ -369,7 +376,8 @@ class Decoder(nn.Module):
         cmd_logits, args_logits = FCN(
             cfg.d_model, cfg.n_commands, cfg.n_args, cfg.args_dim_out, dtype,
             name="fcn",
-        )(out, argmax=argmax_head)
+        )(out, argmax=argmax_head,
+          ce_targets=_fold(ce_targets) if ce_targets is not None else None)
 
         cmd_logits = _unfold(cmd_logits, n)      # [N, G, S, (n_commands)]
         args_logits = _unfold(args_logits, n)    # [N, G, S, n_args(, args_dim_out)]
@@ -433,6 +441,7 @@ class SVGTransformer(nn.Module):
         deterministic=True,
         sample_vae=True,
         argmax_head=False,
+        fused_ce=False,
     ):
         cfg = self.cfg
         mu = logsigma = None
@@ -449,9 +458,17 @@ class SVGTransformer(nn.Module):
         else:
             commands_dec_, args_dec_ = commands_dec, args_dec
 
+        # fused softmax-CE over the argument head (ops/ce.py): only valid when
+        # the loss is computed against in-order targets (no Hungarian
+        # re-assignment of proposals, which needs the full logits)
+        use_fused_ce = fused_ce and return_tgt and not cfg.self_match
+        ce_targets = (
+            (args_dec[..., 1:, :] + 1).astype(jnp.int32) if use_fused_ce else None
+        )
+
         cmd_logits, args_logits, hierarch_logits = self.decoder(
             z, commands_dec_, args_dec_, label, deterministic=deterministic,
-            argmax_head=argmax_head,
+            argmax_head=argmax_head, ce_targets=ce_targets,
         )
 
         if return_tgt and cfg.self_match:
@@ -467,7 +484,12 @@ class SVGTransformer(nn.Module):
             )
 
         key_c = "command_ids" if argmax_head else "command_logits"
-        key_a = "args_ids" if argmax_head else "args_logits"
+        if argmax_head:
+            key_a = "args_ids"
+        elif use_fused_ce:
+            key_a = "args_ce"
+        else:
+            key_a = "args_logits"
         res = {
             key_c: cmd_logits,
             key_a: args_logits,

@@ -1,0 +1,184 @@
+"""Fused argument-head softmax cross-entropy (Pallas TPU, custom VJP).
+
+Training's memory wall is the argument-logits tensor: the head expands the
+decoder states ``[R, D]`` to ``[R, n_args, args_dim] = [R, 11, 257]`` logits
+— ~1.4 GB f32 at batch 512 — which XLA materializes in the forward AND keeps
+(plus its softmax) as backward residuals for the cross-entropy
+(reference loss.py:45-53 pays the same through torch autograd).
+
+This op computes the CE directly from ``(y, W, b, targets)``: the forward
+emits only the per-token-per-slot CE ``[R, n_args]`` (logits live tile-wise
+in VMEM, one slot at a time), and the backward flash-style *recomputes* the
+tile's logits/softmax to form ``dy``, ``dW``, ``db`` — nothing head-sized
+ever touches HBM. Residuals are just the op's inputs, so the peak-memory
+term that capped the per-chip batch disappears.
+
+Weight/bias grads accumulate across the sequential grid in the output VMEM
+block (initialized at program 0 — same pattern as ops/attention_vjp.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fwd_kernel(
+    y_ref, wa_ref, ba_ref, tgt_ref, ce_ref,
+    *, n_args: int, args_vocab: int, tile_rows: int,
+):
+    y = y_ref[:]  # [tile_rows, D]
+    cols = []
+    for s in range(n_args):
+        sl = slice(s * args_vocab, (s + 1) * args_vocab)
+        lg = jnp.dot(y, wa_ref[:, sl], preferred_element_type=jnp.float32)
+        lg = lg + ba_ref[:, sl].astype(jnp.float32)
+        m = jnp.max(lg, axis=-1, keepdims=True)
+        lse = m + jnp.log(jnp.sum(jnp.exp(lg - m), axis=-1, keepdims=True))
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, args_vocab), 1)
+        onehot = col == tgt_ref[:, s : s + 1]
+        tl = jnp.sum(jnp.where(onehot, lg, 0.0), axis=-1, keepdims=True)
+        cols.append(lse - tl)
+    ce_ref[:] = jnp.concatenate(cols, axis=1)  # [tile_rows, n_args]
+
+
+def _bwd_kernel(
+    y_ref, wa_ref, ba_ref, tgt_ref, g_ref, dy_ref, dwa_ref, dba_ref,
+    *, n_args: int, args_vocab: int, tile_rows: int, d_model: int,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwa_ref[:] = jnp.zeros_like(dwa_ref)
+        dba_ref[:] = jnp.zeros_like(dba_ref)
+
+    y = y_ref[:]
+    yf = y.astype(jnp.float32)
+    dy = jnp.zeros((tile_rows, d_model), jnp.float32)
+    for s in range(n_args):
+        sl = slice(s * args_vocab, (s + 1) * args_vocab)
+        w = wa_ref[:, sl]
+        lg = jnp.dot(y, w, preferred_element_type=jnp.float32)
+        lg = lg + ba_ref[:, sl].astype(jnp.float32)
+        m = jnp.max(lg, axis=-1, keepdims=True)
+        e = jnp.exp(lg - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, args_vocab), 1)
+        onehot = col == tgt_ref[:, s : s + 1]
+        dlg = (p - jnp.where(onehot, 1.0, 0.0)) * g_ref[:, s : s + 1]
+        dy = dy + jax.lax.dot_general(
+            dlg, w.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwa_ref[:, sl] = dwa_ref[:, sl] + jax.lax.dot_general(
+            yf, dlg, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dba_ref[:, sl] = dba_ref[:, sl] + jnp.sum(dlg, axis=0, keepdims=True)
+    dy_ref[:] = dy.astype(dy_ref.dtype)
+
+
+def _full_spec(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _ce_fwd_call(y, wa, ba, targets, n_args, tile_rows, interpret):
+    r, d = y.shape
+    args_vocab = wa.shape[-1] // n_args
+    if jax.default_backend() == "cpu":
+        interpret = True
+    kernel = functools.partial(
+        _fwd_kernel, n_args=n_args, args_vocab=args_vocab, tile_rows=tile_rows,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((r, n_args), jnp.float32),
+        grid=(r // tile_rows,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _full_spec(wa.shape),
+            _full_spec((1, ba.shape[0])),
+            pl.BlockSpec((tile_rows, n_args), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_rows, n_args), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(y, wa, ba.reshape(1, -1), targets)
+
+
+def _ce_bwd_call(y, wa, ba, targets, g, n_args, tile_rows, interpret):
+    r, d = y.shape
+    k = wa.shape[-1]
+    args_vocab = k // n_args
+    if jax.default_backend() == "cpu":
+        interpret = True
+    kernel = functools.partial(
+        _bwd_kernel, n_args=n_args, args_vocab=args_vocab, tile_rows=tile_rows,
+        d_model=d,
+    )
+    dy, dwa, dba = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((r, d), y.dtype),
+            jax.ShapeDtypeStruct((d, k), jnp.float32),
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+        ),
+        grid=(r // tile_rows,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _full_spec(wa.shape),
+            _full_spec((1, ba.shape[0])),
+            pl.BlockSpec((tile_rows, n_args), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, n_args), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _full_spec((d, k)),
+            _full_spec((1, k)),
+        ),
+        interpret=interpret,
+    )(y, wa, ba.reshape(1, -1), targets, g)
+    return dy, dwa.astype(wa.dtype), dba.reshape(-1).astype(ba.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _args_ce_core(y, wa, ba, targets, n_args, tile_rows, interpret):
+    return _ce_fwd_call(y, wa, ba, targets, n_args, tile_rows, interpret)
+
+
+def _core_fwd(y, wa, ba, targets, n_args, tile_rows, interpret):
+    ce = _ce_fwd_call(y, wa, ba, targets, n_args, tile_rows, interpret)
+    return ce, (y, wa, ba, targets)
+
+
+def _core_bwd(n_args, tile_rows, interpret, res, g):
+    y, wa, ba, targets = res
+    dy, dwa, dba = _ce_bwd_call(
+        y, wa, ba, targets, g.astype(jnp.float32), n_args, tile_rows, interpret
+    )
+    return dy, dwa, dba, np.zeros(targets.shape, jax.dtypes.float0)
+
+
+_args_ce_core.defvjp(_core_fwd, _core_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def args_ce(y, wa, ba, targets, tile_rows: int = 256, interpret: bool = False):
+    """Per-token-per-slot CE ``[..., n_args]`` of the argument head applied to
+    ``y [..., D]`` against integer ``targets [..., n_args]`` in
+    ``[0, args_vocab)`` — differentiable wrt ``y``/``wa``/``ba``, without ever
+    materializing the ``[..., n_args, args_vocab]`` logits."""
+    *lead, d = y.shape
+    n_args = targets.shape[-1]
+    yf = y.reshape(-1, d)
+    tf = targets.reshape(-1, n_args).astype(jnp.int32)
+    r = yf.shape[0]
+    pad = (-r) % tile_rows
+    if pad:
+        yf = jnp.pad(yf, ((0, pad), (0, 0)))
+        tf = jnp.pad(tf, ((0, pad), (0, 0)))
+    ce = _args_ce_core(yf, wa, ba, tf, n_args, tile_rows, interpret)
+    return ce[:r].reshape(tuple(lead) + (n_args,))

@@ -14,9 +14,12 @@ comparison (never touching HBM) and accumulates all terms in one pass:
 
     out[row] = CmdT[cmd] + sum_i T_i[arg_i + 1] (+ GroupT[gid]) + PosT[s]
 
-Index operands are passed pre-flattened (commands ``[B·S, 1]``, args
-``[B·S, n_args]``, lane-sliced per slot in-kernel) so every in-kernel tensor
-stays in natural 2D layout — Mosaic cannot relayout lane dims into sublanes.
+Index operands are passed as ``[B, S, k]`` with blocks ``(tile_b, S, k)`` —
+trailing block dims equal to the full array dims are legal for ANY tile_b
+(a pre-flattened ``[B·S, k]`` block needs ``tile_b·S % 8 == 0``, which
+one-stage models violate via ``pick_tile_b(s=242) = 1``). In-kernel they
+collapse to 2D by a leading-dims-only reshape (no lane/sublane relayout)
+and are lane-sliced per slot.
 """
 from __future__ import annotations
 
@@ -36,20 +39,21 @@ def _embed_kernel(
     rows = tile_b * seq_len
     f32 = jnp.float32
 
-    cmd = cmd_ref[:]  # [rows, 1]
+    cmd = cmd_ref[:].reshape(rows, 1)
+    args_flat = args_ref[:].reshape(rows, n_args)
     col7 = jax.lax.broadcasted_iota(jnp.int32, (rows, n_commands), 1)
     oh_cmd = (col7 == cmd).astype(cmd_t_ref.dtype)
     acc = jnp.dot(oh_cmd, cmd_t_ref[:], preferred_element_type=f32)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, args_vocab), 1)
     for i in range(n_args):
-        a = args_ref[:, i : i + 1] + 1  # [rows, 1]; PAD -1 -> 0
+        a = args_flat[:, i : i + 1] + 1  # [rows, 1]; PAD -1 -> 0
         oh = (col == a).astype(arg_t_ref.dtype)
         table_i = arg_t_ref[i * args_vocab : (i + 1) * args_vocab, :]
         acc = acc + jnp.dot(oh, table_i, preferred_element_type=f32)
 
     if use_group:
-        g = groups_ref[:]  # [rows, 1]
+        g = groups_ref[:].reshape(rows, 1)
         colg = jax.lax.broadcasted_iota(jnp.int32, (rows, group_vocab), 1)
         oh_g = (colg == g).astype(group_t_ref.dtype)
         acc = acc + jnp.dot(oh_g, group_t_ref[:], preferred_element_type=f32)
@@ -91,10 +95,10 @@ def fused_embedding(
         group_table = jnp.zeros((8, d), cmd_table.dtype)
     group_vocab = group_table.shape[0]
 
-    # flatten index operands to 2D layouts (see module docstring)
-    cmd_flat = commands.astype(jnp.int32).reshape(b * s, 1)
-    args_flat = args.astype(jnp.int32).reshape(b * s, n_args)
-    groups_flat = groups.astype(jnp.int32).reshape(b * s, 1)
+    # 3D index operands: trailing block dims = full dims (see module docstring)
+    cmd_flat = commands.astype(jnp.int32).reshape(b, s, 1)
+    args_flat = args.astype(jnp.int32).reshape(b, s, n_args)
+    groups_flat = groups.astype(jnp.int32).reshape(b, s, 1)
 
     kernel = functools.partial(
         _embed_kernel, tile_b=tile_b, seq_len=s, d_model=d, n_args=n_args,
@@ -106,9 +110,9 @@ def fused_embedding(
         out_shape=jax.ShapeDtypeStruct((b, s, d), out_dtype),
         grid=(b // tile_b,),
         in_specs=[
-            pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, n_args), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, s, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, s, n_args), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, s, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(cmd_table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(arg_tables.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(group_table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),

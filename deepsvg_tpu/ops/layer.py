@@ -97,7 +97,7 @@ def _layer_kernel(
                              n_heads, d_model)
 
     if use_bias:
-        inj = bias_ref[:].astype(jnp.float32)  # [tile_b, D]
+        inj = bias_ref[:, 0, :].astype(jnp.float32)  # [tile_b, D]
         x = x + jnp.broadcast_to(
             inj[:, None, :], (tile_b, seq_len, d_model)
         ).reshape(rows, d_model)
@@ -147,7 +147,11 @@ def fused_layer(
         grid=(b // tile_b,),
         in_specs=[
             pl.BlockSpec((tile_b, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # [b, 1, d] with a unit middle dim: the block's trailing dims are
+            # (1, d) = the full array dims, legal for ANY tile_b (a 2D
+            # (tile_b, d) block violates Mosaic's 8-sublane rule at tile_b < 8,
+            # which one-stage models hit via pick_tile_b(s=257) = 1)
+            pl.BlockSpec((tile_b, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             full(ln1.shape), full(wqkv.shape), full(bqkv.shape),
             full(wo.shape), full(bo.shape), full(ln2.shape),
             full(w1.shape), full(b1.shape), full(w2.shape), full(b2.shape),
@@ -155,7 +159,7 @@ def fused_layer(
         ],
         out_specs=pl.BlockSpec((tile_b, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2,
+    )(x, seq_bias.reshape(b, 1, d), ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2,
       mask.reshape(b // tile_b, 1, rows))
 
 

@@ -81,7 +81,12 @@ def train_step(
         rngs = {"dropout": drop_rng}
         if model.cfg.use_vae:
             rngs["vae"] = vae_rng
-        out = model.apply({"params": params}, *args, deterministic=False, rngs=rngs)
+        out = model.apply(
+            {"params": params}, *args, deterministic=False, rngs=rngs,
+            # fused softmax-CE head (ops/ce.py) on the Pallas backend: removes
+            # the argument-logits tensor from the step's memory/bandwidth
+            fused_ce=model.cfg.attention_impl == "pallas",
+        )
         res = svg_loss(out, weights, model.cfg)
         return res["loss"], res
 
@@ -107,7 +112,8 @@ def eval_step(
     fixed key for reproducibility)."""
     args = [batch[k] for k in model_args]
     rngs = {"vae": jax.random.key(0)} if model.cfg.use_vae else None
-    out = model.apply({"params": state.params}, *args, deterministic=True, rngs=rngs)
+    out = model.apply({"params": state.params}, *args, deterministic=True,
+                      rngs=rngs, fused_ce=model.cfg.attention_impl == "pallas")
     return svg_loss(out, weights, model.cfg)
 
 

@@ -309,3 +309,85 @@ class TestLabelConditionedFused:
             np.asarray(out_p["args_logits"]), np.asarray(out_x["args_logits"]),
             atol=2e-4,
         )
+
+
+class TestFusedArgsCE:
+    def test_args_ce_matches_optax(self, rng):
+        import optax
+
+        from deepsvg_tpu.ops.ce import args_ce
+
+        R, D, n_args, V = 70, 64, 11, 257  # forces row padding at tile 32
+        y = jnp.asarray(rng.normal(size=(R, D)), jnp.float32)
+        wa = jnp.asarray(rng.normal(size=(D, n_args * V)) * 0.05, jnp.float32)
+        ba = jnp.asarray(rng.normal(size=(n_args * V,)) * 0.1, jnp.float32)
+        tgt = jnp.asarray(rng.integers(0, V, (R, n_args)), jnp.int32)
+        gw = jnp.asarray(rng.uniform(0.1, 1.0, (R, n_args)), jnp.float32)
+
+        def ref_loss(y, wa, ba):
+            lg = (y @ wa + ba).reshape(R, n_args, V)
+            return jnp.sum(
+                optax.softmax_cross_entropy_with_integer_labels(lg, tgt) * gw
+            )
+
+        def fused_loss(y, wa, ba):
+            return jnp.sum(args_ce(y, wa, ba, tgt, tile_rows=32) * gw)
+
+        np.testing.assert_allclose(
+            float(ref_loss(y, wa, ba)), float(fused_loss(y, wa, ba)), rtol=1e-6
+        )
+        g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(y, wa, ba)
+        g_fused = jax.grad(fused_loss, argnums=(0, 1, 2))(y, wa, ba)
+        for a, b in zip(g_ref, g_fused):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_train_step_fused_ce_matches_xla(self, rng):
+        """Full train step: fused-CE (pallas) grads/losses match the stock
+        lowering (xla) from identical params."""
+        import dataclasses
+        import sys
+
+        import optax as _optax
+
+        sys.path.insert(0, "tests")
+        from test_model import make_batch, small_cfg
+
+        from deepsvg_tpu.models import SVGTransformer
+        from deepsvg_tpu.training.trainer import (
+            create_train_state, jit_train_step, make_optimizer)
+
+        cfg_x = small_cfg(encode_stages=2, decode_stages=2, use_vae=False)
+        cfg_p = dataclasses.replace(cfg_x, attention_impl="pallas")
+        cmds, args = make_batch(rng, cfg_x)
+        batch = {"commands_enc": cmds, "args_enc": args,
+                 "commands_dec": cmds, "args_dec": args}
+        model_args = list(batch)
+        weights = {"loss_visibility_weight": 1.0, "loss_cmd_weight": 1.0,
+                   "loss_args_weight": 2.0}
+        # SGD so the param check reflects grads directly (Adam's g/sqrt(v)
+        # amplifies backend-level noise on near-zero grads to ~lr scale)
+        opt = _optax.sgd(1e-2)
+
+        results = {}
+        for name, cfg in [("xla", cfg_x), ("pallas", cfg_p)]:
+            model = SVGTransformer(cfg)
+            state = create_train_state(model, opt, batch, model_args)
+            step = jit_train_step(model, opt, model_args, donate=False)
+            new_state, res = step(state, batch, weights)
+            results[name] = (new_state, res)
+
+        res_x, res_p = results["xla"][1], results["pallas"][1]
+        np.testing.assert_allclose(
+            float(res_p["loss_args"]), float(res_x["loss_args"]), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(res_p["loss"]), float(res_x["loss"]), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(res_p["grad_norm"]), float(res_x["grad_norm"]), rtol=2e-3
+        )
+        # updated params agree (dropout=0 in small_cfg -> fully deterministic)
+        pt_x = jax.tree.leaves(results["xla"][0].params)
+        pt_p = jax.tree.leaves(results["pallas"][0].params)
+        for a, b in zip(pt_x, pt_p):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
