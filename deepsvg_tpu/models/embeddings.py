@@ -76,27 +76,30 @@ class SVGEmbedding(nn.Module):
             "pos_embed", kaiming_embed_init(cfg.d_model), (max_len, cfg.d_model)
         )
 
-        use_pallas = (
-            cfg.attention_impl == "pallas"
-            and deterministic
-            and pos_index is None
-        )
-        if use_pallas:
+        # fused one-hot-matmul embedding — differentiable (custom VJP, table
+        # grads as transposed one-hot matmuls), so training uses it too
+        if cfg.attention_impl == "pallas" and pos_index is None:
             from ..ops.attention import pick_tile_b
-            from ..ops.embedding import fold_arg_tables, fused_embedding
+            from ..ops.embedding import fold_arg_tables, fused_embedding_train
 
             arg_tables = fold_arg_tables(
                 arg_table.astype(dtype), fcn_kernel.astype(dtype),
                 fcn_bias.astype(dtype), cfg.n_args,
             )
-            return fused_embedding(
-                commands, args, groups if self.use_group else None,
-                cmd_table.astype(dtype), arg_tables,
-                group_table.astype(dtype) if group_table is not None else None,
-                pos_table[:s].astype(dtype),
-                tile_b=pick_tile_b(b, s), use_group=self.use_group,
-                out_dtype=dtype,
+            groups_arr = (
+                groups.astype(jnp.int32) if self.use_group
+                else jnp.zeros((b, s), jnp.int32)
             )
+            gt = (
+                group_table.astype(dtype) if group_table is not None
+                else jnp.zeros((8, cfg.d_model), dtype)
+            )
+            src = fused_embedding_train(
+                commands, args, groups_arr, cmd_table.astype(dtype), arg_tables,
+                gt, pos_table[:s].astype(dtype),
+                pick_tile_b(b, s), self.use_group, dtype, False,
+            )
+            return nn.Dropout(cfg.dropout, deterministic=deterministic)(src)
 
         cmd_emb = jnp.take(cmd_table.astype(dtype), commands.astype(jnp.int32), axis=0)
         arg_emb = jnp.take(

@@ -391,3 +391,40 @@ class TestFusedArgsCE:
         pt_p = jax.tree.leaves(results["pallas"][0].params)
         for a, b in zip(pt_x, pt_p):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+class TestFusedEmbeddingVJP:
+    def test_embedding_grads_match_gather(self, rng):
+        from deepsvg_tpu.ops.embedding import fused_embedding_train
+
+        B, S, n_args, V, D, NC, GV = 12, 10, 11, 257, 64, 7, 10
+        cmds = jnp.asarray(rng.integers(0, NC, (B, S)), jnp.int32)
+        args = jnp.asarray(rng.integers(-1, V - 1, (B, S, n_args)), jnp.int32)
+        groups = jnp.asarray(rng.integers(0, GV, (B, S)), jnp.int32)
+        ct = jnp.asarray(rng.normal(size=(NC, D)), jnp.float32)
+        at = jnp.asarray(rng.normal(size=(n_args * V, D)), jnp.float32)
+        gt = jnp.asarray(rng.normal(size=(GV, D)), jnp.float32)
+        pt = jnp.asarray(rng.normal(size=(S, D)), jnp.float32)
+        co = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+
+        def fused(ct, at, gt, pt):
+            out = fused_embedding_train(cmds, args, groups, ct, at, gt, pt,
+                                        4, True, jnp.float32, False)
+            return jnp.sum(out * co)
+
+        def ref(ct, at, gt, pt):
+            cmd_emb = jnp.take(ct, cmds, axis=0)
+            a1 = args + 1
+            arg_emb = sum(
+                jnp.take(at[i * V : (i + 1) * V], a1[..., i], axis=0)
+                for i in range(n_args)
+            )
+            out = cmd_emb + arg_emb + jnp.take(gt, groups, axis=0) + pt[None]
+            return jnp.sum(out * co)
+
+        np.testing.assert_allclose(float(ref(ct, at, gt, pt)),
+                                   float(fused(ct, at, gt, pt)), rtol=1e-5)
+        g_ref = jax.grad(ref, argnums=(0, 1, 2, 3))(ct, at, gt, pt)
+        g_fused = jax.grad(fused, argnums=(0, 1, 2, 3))(ct, at, gt, pt)
+        for a, b in zip(g_ref, g_fused):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
