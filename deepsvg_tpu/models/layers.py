@@ -166,6 +166,37 @@ class _TransformerLayerBase(nn.Module):
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return h @ p["ff2_kernel"] + p["ff2_bias"]
 
+    def _fused_train_layer(self, x, seq_bias, key_pad, causal, p):
+        """Whole-layer fused forward+backward (ops/layer_vjp.py): custom-VJP
+        Pallas kernels with in-kernel dropout (attention probabilities,
+        attention output, FF hidden, FF output — the reference's four sites).
+        ``seq_bias [B, D]`` carries the per-sequence injections, dropout
+        already applied (their weight grads flow through this op's VJP)."""
+        from ..ops.attention import pick_tile_b
+        from ..ops.layer_vjp import fused_layer_train
+
+        b, s, _ = x.shape
+        mask = (
+            key_pad.astype(jnp.float32)
+            if key_pad is not None else jnp.zeros((b, s), jnp.float32)
+        )
+        if seq_bias is None:
+            seq_bias = jnp.zeros((b, self.d_model), x.dtype)
+        if self.dropout > 0.0 and self.has_rng("dropout"):
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1,), 0, 2**30, jnp.int32
+            )
+            rate = self.dropout
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
+            rate = 0.0
+        return fused_layer_train(
+            x, seq_bias.astype(x.dtype), p["norm1"], p["wqkv"], p["bqkv"],
+            p["wo"], p["bo"], p["norm2"], p["ff1_kernel"], p["ff1_bias"],
+            p["ff2_kernel"], p["ff2_bias"], mask, seed,
+            self.n_heads, pick_tile_b(b, s), causal, rate,
+        )
+
 
 class EncoderLayerImproved(_TransformerLayerBase):
     """Pre-LN encoder layer (improved_transformer.py:42-54)."""
@@ -199,6 +230,15 @@ class EncoderLayerImproved(_TransformerLayerBase):
                 p["ff2_bias"], mask, n_heads=self.n_heads,
                 tile_b=pick_tile_b(b, s), seq_bias=seq_bias,
             )
+
+        if self.attn_impl == "pallas":  # fused train path (not deterministic)
+            seq_bias = None
+            if self.use_label and label_emb is not None:
+                le = label_emb[:, 0, :] if label_emb.ndim == 3 else label_emb
+                seq_bias = nn.Dropout(self.dropout, deterministic=False)(
+                    le @ p["glob2_kernel"] + p["glob2_bias"]
+                )
+            return self._fused_train_layer(src, seq_bias, key_pad, False, p)
 
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
         xn = layer_norm(src, p["norm1"])
@@ -264,6 +304,15 @@ class DecoderLayerGlobalImproved(_TransformerLayerBase):
                 p["ff2_kernel"], p["ff2_bias"], mask, n_heads=self.n_heads,
                 tile_b=pick_tile_b(b, s), causal=causal, extra_bias=extra_bias,
             )
+
+        if self.attn_impl == "pallas":  # fused train path (not deterministic)
+            seq_bias = nn.Dropout(self.dropout, deterministic=False)(z2 @ wg + bg)
+            if self.use_label and label_emb is not None:
+                le = label_emb[:, 0, :] if label_emb.ndim == 3 else label_emb
+                seq_bias = seq_bias + nn.Dropout(self.dropout, deterministic=False)(
+                    le @ p["glob2_kernel"] + p["glob2_bias"]
+                )
+            return self._fused_train_layer(tgt, seq_bias, key_pad, causal, p)
 
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
         xn = layer_norm(tgt, p["norm1"])

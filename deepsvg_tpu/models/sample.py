@@ -180,6 +180,137 @@ def autoregressive_sample_cached(
     return _finalize_args(cfg, commands_y, args_y)
 
 
+def _pick_tile_r(n: int, cap: int = 8) -> int:
+    t, best = 1, 1
+    while t <= cap:
+        if n % t == 0:
+            best = t
+        t *= 2
+    return best
+
+
+def autoregressive_sample_fused(
+    model: SVGTransformer,
+    variables,
+    z: jnp.ndarray,
+    label: Optional[jnp.ndarray] = None,
+    temperature: float = 0.0001,
+    key: Optional[jax.Array] = None,
+):
+    """Fused autoregressive greedy decode: the ENTIRE decoder stack for each
+    token — all layers' LN1/cached-attention/latent-injection/LN2/FF plus the
+    final LayerNorm — runs as ONE Pallas kernel per step (ops/decode.py),
+    with greedy heads through the fused head+argmax kernel. Operates directly
+    on the parameter tree (one-stage transformer decoders,
+    cfg.decode_stages == 1). Bit-compatible with
+    :func:`autoregressive_sample_cached` (tested).
+    """
+    cfg = model.cfg
+    assert cfg.decode_stages == 1 and cfg.model_type == "transformer"
+    from ..ops.decode import fused_decode_step
+    from ..ops.head import fused_head_argmax
+
+    dtype = jnp.dtype(cfg.compute_dtype)
+    params = variables["params"]["decoder"]
+    dec, emb, fcn = params["decoder"], params["embedding"], params["fcn"]
+    L = cfg.n_layers_decode
+    n = z.shape[0]
+    length = cfg.max_total_len + 1
+    tile_r = _pick_tile_r(n)
+
+    layers = [dec[f"layer_{i}"] for i in range(L)]
+    st = lambda k: jnp.stack([l[k] for l in layers]).astype(dtype)
+    ln1s, wqkvs, wos, ln2s = st("norm1"), st("wqkv"), st("wo"), st("norm2")
+    w1s, w2s = st("ff1_kernel"), st("ff2_kernel")
+    bqkvs, bos = st("bqkv")[:, None, :], st("bo")[:, None, :]
+    b1s, b2s = st("ff1_bias")[:, None, :], st("ff2_bias")[:, None, :]
+    lnf = jnp.stack([dec["norm"]["scale"], dec["norm"]["bias"]]).astype(dtype)
+
+    zt = z.astype(dtype)
+    bias = [
+        zt @ l["glob_kernel"].astype(dtype) + l["glob_bias"].astype(dtype)
+        for l in layers
+    ]
+    if cfg.label_condition and label is not None:
+        ltab = params["label_embedding"]["label_embedding"]["embedding"]
+        le = jnp.take(ltab.astype(dtype), label.astype(jnp.int32), axis=0)
+        bias = [
+            b + le @ l["glob2_kernel"].astype(dtype) + l["glob2_bias"].astype(dtype)
+            for b, l in zip(bias, layers)
+        ]
+    seq_bias = jnp.stack(bias)  # [L, n, D]
+
+    cmd_tab = emb["command_embed"].astype(dtype)
+    arg_tab = emb["arg_embed"].astype(dtype)
+    efk = emb["embed_fcn_kernel"].astype(dtype)
+    efb = emb["embed_fcn_bias"].astype(dtype)
+    grp_tab = emb["group_embed"].astype(dtype)
+    pos_tab = emb["pos_embed"].astype(dtype)
+    wc, bc = fcn["command_kernel"].astype(dtype), fcn["command_bias"].astype(dtype)
+    wa, ba = fcn["args_kernel"].astype(dtype), fcn["args_bias"].astype(dtype)
+
+    def embed(cmd, args, grp, i):
+        ae = jnp.take(arg_tab, (args + 1).astype(jnp.int32), axis=0)
+        e = (jnp.take(cmd_tab, cmd, axis=0)
+             + ae.reshape(n, 64 * cfg.n_args) @ efk + efb
+             + jnp.take(grp_tab, grp, axis=0))
+        return e + jax.lax.dynamic_slice_in_dim(pos_tab, i, 1, axis=0)
+
+    buf_cmds = jnp.full((n, length), CMD_EOS, jnp.int32).at[:, 0].set(CMD_SOS)
+    buf_args = jnp.full((n, length, cfg.n_args), float(PAD_VAL), jnp.float32)
+    kcache = jnp.zeros((L, n, length, cfg.d_model), dtype)
+    vcache = jnp.zeros_like(kcache)
+    kp = jnp.zeros((n, length), jnp.float32)
+    eos_seen = jnp.zeros((n,), bool)
+    gcount = jnp.zeros((n,), jnp.int32)
+
+    def step(carry, i):
+        kc, vc, cmds, argsb, kp, gcount, eos_seen, k = carry
+        cmd_t = jax.lax.dynamic_slice_in_dim(cmds, i, 1, axis=1)[:, 0]
+        args_t = jax.lax.dynamic_slice_in_dim(argsb, i, 1, axis=1)[:, 0]
+        gcount = gcount + (cmd_t == CMD_M).astype(jnp.int32)
+        x = embed(cmd_t, args_t, gcount, i)
+        y, knew, vnew = fused_decode_step(
+            x, seq_bias, ln1s, wqkvs, bqkvs, wos, bos, ln2s, w1s, b1s, w2s,
+            b2s, lnf, kc, vc, kp, jnp.reshape(i, (1,)).astype(jnp.int32),
+            cfg.n_heads, tile_r,
+        )
+        kc = jax.lax.dynamic_update_slice(kc, knew[:, :, None, :], (0, 0, i, 0))
+        vc = jax.lax.dynamic_update_slice(vc, vnew[:, :, None, :], (0, 0, i, 0))
+        if k is None:
+            ids = fused_head_argmax(
+                y, wc, bc, wa, ba, n_commands=cfg.n_commands,
+                n_args=cfg.n_args, tile_rows=_pick_tile_r(n, cap=256),
+            )
+            cmd_new = ids[:, 0]
+            args_new = ids[:, 1:].astype(jnp.float32) - 1.0
+            knext = None
+        else:
+            k, kc_key, ka_key = jax.random.split(k, 3)
+            cmd_new = sample_categorical(kc_key, y @ wc + bc, temperature)
+            args_logits = (y @ wa + ba).reshape(n, cfg.n_args, cfg.args_dim_out)
+            args_new = sample_categorical(ka_key, args_logits, temperature) - 1
+            args_new = args_new.astype(jnp.float32)
+            knext = k
+        _, args_new = make_valid(cmd_new, args_new)
+        eos_seen = eos_seen | (cmd_new == CMD_EOS)
+        kp = kp.at[:, i + 1].set(jnp.where(eos_seen, -jnp.inf, 0.0))
+        cmds = jax.lax.dynamic_update_slice(cmds, cmd_new[:, None], (0, i + 1))
+        argsb = jax.lax.dynamic_update_slice(
+            argsb, args_new[:, None, :], (0, i + 1, 0)
+        )
+        return (kc, vc, cmds, argsb, kp, gcount, eos_seen, knext), None
+
+    carry = (kcache, vcache, buf_cmds, buf_args, kp, gcount, eos_seen, key)
+    carry, _ = jax.lax.scan(
+        lambda c, i: step(c, i), carry, jnp.arange(cfg.max_total_len)
+    )
+    buf_cmds, buf_args = carry[2], carry[3]
+    commands_y = buf_cmds[:, None, 1:]
+    args_y = buf_args[:, None, 1:, :]
+    return _finalize_args(cfg, commands_y, args_y)
+
+
 def autoregressive_sample(
     model: SVGTransformer,
     variables,
@@ -256,6 +387,10 @@ def greedy_sample(
             variables, commands_enc, args_enc, None, None, label=label,
             encode_mode=True, deterministic=True, rngs=rngs,
         )
+    if (cfg.attention_impl == "pallas" and cfg.model_type == "transformer"
+            and cfg.decode_stages == 1):
+        return autoregressive_sample_fused(model, variables, z, label=label,
+                                           temperature=temperature, key=key)
     return autoregressive_sample_cached(model, variables, z, label=label,
                                         temperature=temperature, key=key)
 

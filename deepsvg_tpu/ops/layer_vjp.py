@@ -1,0 +1,457 @@
+"""Differentiable fully-fused transformer layer (Pallas fwd + Pallas bwd).
+
+Extends the fused inference layer (ops/layer.py) to training: ONE kernel for
+the whole layer forward — LN1 -> attention (prob dropout) -> residual dropout
+-> residual -> [per-sequence injection] -> LN2 -> FF (hidden + output dropout)
+-> residual — and ONE kernel for its backward. Nothing but the layer inputs is
+saved between forward and backward (flash-style: the backward recomputes every
+intermediate in VMEM), so the training step's LN/FF/residual HBM round-trips
+(docs/PERFORMANCE.md "Kernel-level findings") disappear in both directions.
+
+Dropout (reference semantics, improved_transformer.py:16-54/97-141: attention
+probabilities, attention output, FF hidden, FF output) uses the on-chip PRNG,
+re-seeded per (step seed, grid program, site) so the backward regenerates each
+mask independently of draw order. The per-sequence injections (decoder latent
+``z @ Wg``, label conditioning) and their dropout are computed OUTSIDE in XLA
+(tiny ``[B, D]`` math) and enter as one ``seq_bias`` operand whose gradient
+(the sequence-summed residual gradient) flows back through this op's VJP.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-5
+
+# dropout site ids (anything distinct; heads use their index)
+_SITE_ATTN_OUT = 64
+_SITE_FF_HIDDEN = 65
+_SITE_FF_OUT = 66
+
+
+def _site_mask(shape, rate, interpret, seed_val, pid, site):
+    """Keep-mask in f32 for one dropout site; independent of draw order
+    (the PRNG is re-seeded per site)."""
+    if interpret:
+        r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        salt = (seed_val * 1009 + pid) * 131 + site
+        u = jnp.sin(
+            (r * 12.9898 + c * 78.233 + salt * 37.719).astype(jnp.float32)
+        ) * 43758.5453
+        u = u - jnp.floor(u)
+        return (u >= rate).astype(jnp.float32)
+    # Mosaic supports at most 2 seed words: fold (program, site) into one
+    pltpu.prng_seed(seed_val, pid * 997 + site)
+    bits = pltpu.prng_random_bits(shape)
+    top24 = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32)
+    u = top24.astype(jnp.float32) * (1.0 / (1 << 24))
+    return (u >= rate).astype(jnp.float32)
+
+
+def _ln_fwd(x, scale, bias):
+    """f32 LayerNorm; returns (out, xhat, rstd) for reuse in backward."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    xhat = xc * rstd
+    return xhat * scale + bias, xhat, rstd
+
+
+def _ln_bwd(dy, xhat, rstd, scale):
+    """Standard LayerNorm input/param gradients (per-row stats)."""
+    dxhat = dy * scale
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - m1 - xhat * m2)
+    dscale = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dbias = jnp.sum(dy, axis=0, keepdims=True)
+    return dx, dscale, dbias
+
+
+def _big_mask(mask_ref, rows, seq_len, causal):
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    allowed = (r // seq_len) == (c // seq_len)
+    if causal:
+        allowed = allowed & ((c % seq_len) <= (r % seq_len))
+    return jnp.where(allowed, mask_ref[0], -jnp.inf)
+
+
+def _attn_fwd_head(qkv, big_mask, h, d_model, head_dim, scale):
+    q = qkv[:, h * head_dim : (h + 1) * head_dim]
+    k = qkv[:, d_model + h * head_dim : d_model + (h + 1) * head_dim]
+    v = qkv[:, 2 * d_model + h * head_dim : 2 * d_model + (h + 1) * head_dim]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    exp = jnp.exp(scores + big_mask)  # LN-bounded: no max-subtraction needed
+    p = exp / jnp.sum(exp, axis=-1, keepdims=True)
+    return q, k, v, p
+
+
+def _fwd_kernel(
+    seed_ref, x_ref, bias_ref, ln1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    ln2_ref, w1_ref, b1_ref, w2_ref, b2_ref, mask_ref, out_ref,
+    *, n_heads, seq_len, d_model, tile_b, causal, rate, interpret,
+):
+    head_dim = d_model // n_heads
+    rows = tile_b * seq_len
+    scale = head_dim ** -0.5
+    kp = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    dtype = x_ref.dtype
+    seed_val = seed_ref[0]
+    pid = pl.program_id(0)
+
+    x0 = x_ref[:].reshape(rows, d_model).astype(jnp.float32)
+    ln1 = ln1_ref[:].astype(jnp.float32)
+    xn1_f, _, _ = _ln_fwd(x0, ln1[0:1], ln1[1:2])
+    xn1 = xn1_f.astype(dtype)
+
+    qkv = jnp.dot(xn1, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
+    bm = _big_mask(mask_ref, rows, seq_len, causal)
+
+    ctx_heads = []
+    for h in range(n_heads):
+        _, _, v, p = _attn_fwd_head(qkv, bm, h, d_model, head_dim, scale)
+        if rate > 0.0:
+            p = p * _site_mask(p.shape, rate, interpret, seed_val, pid, h) * kp
+        ctx_heads.append(
+            jnp.dot(p.astype(dtype), v, preferred_element_type=jnp.float32).astype(dtype)
+        )
+    ctx = jnp.concatenate(ctx_heads, axis=1)
+    a = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
+    a = a + bo_ref[:].astype(jnp.float32)
+    if rate > 0.0:
+        a = a * _site_mask(a.shape, rate, interpret, seed_val, pid, _SITE_ATTN_OUT) * kp
+
+    inj = bias_ref[:, 0, :].astype(jnp.float32)  # [tile_b, D]
+    x1 = x0 + a + jnp.broadcast_to(
+        inj[:, None, :], (tile_b, seq_len, d_model)
+    ).reshape(rows, d_model)
+
+    ln2 = ln2_ref[:].astype(jnp.float32)
+    xn2_f, _, _ = _ln_fwd(x1, ln2[0:1], ln2[1:2])
+    xn2 = xn2_f.astype(dtype)
+    hpre = jnp.dot(xn2, w1_ref[:], preferred_element_type=jnp.float32)
+    hpre = hpre + b1_ref[:].astype(jnp.float32)
+    h_act = jnp.maximum(hpre, 0.0)
+    if rate > 0.0:
+        h_act = h_act * _site_mask(
+            h_act.shape, rate, interpret, seed_val, pid, _SITE_FF_HIDDEN
+        ) * kp
+    f = jnp.dot(h_act.astype(dtype), w2_ref[:], preferred_element_type=jnp.float32)
+    f = f + b2_ref[:].astype(jnp.float32)
+    if rate > 0.0:
+        f = f * _site_mask(f.shape, rate, interpret, seed_val, pid, _SITE_FF_OUT) * kp
+
+    out_ref[:] = (x1 + f).astype(dtype).reshape(tile_b, seq_len, d_model)
+
+
+def _bwd_kernel(
+    seed_ref, x_ref, bias_ref, ln1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    ln2_ref, w1_ref, b1_ref, w2_ref, b2_ref, mask_ref, g_ref,
+    dx_ref, dbias_ref, dln1_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
+    dln2_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+    *, n_heads, seq_len, d_model, tile_b, causal, rate, interpret,
+):
+    head_dim = d_model // n_heads
+    rows = tile_b * seq_len
+    scale = head_dim ** -0.5
+    kp = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    dtype = x_ref.dtype
+    f32 = jnp.float32
+    seed_val = seed_ref[0]
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _init():
+        dln1_ref[:] = jnp.zeros_like(dln1_ref)
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+        dbo_ref[:] = jnp.zeros_like(dbo_ref)
+        dln2_ref[:] = jnp.zeros_like(dln2_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    # ---- recompute forward intermediates (flash-style) -------------------
+    x0 = x_ref[:].reshape(rows, d_model).astype(f32)
+    ln1 = ln1_ref[:].astype(f32)
+    _, xh1, r1 = _ln_fwd(x0, ln1[0:1], ln1[1:2])
+    xn1 = (xh1 * ln1[0:1] + ln1[1:2]).astype(dtype)
+
+    qkv = jnp.dot(xn1, wqkv_ref[:], preferred_element_type=f32)
+    qkv = (qkv + bqkv_ref[:].astype(f32)).astype(dtype)
+    bm = _big_mask(mask_ref, rows, seq_len, causal)
+
+    m_attn = (
+        _site_mask((rows, d_model), rate, interpret, seed_val, pid, _SITE_ATTN_OUT)
+        if rate > 0.0 else None
+    )
+    m_hid = (
+        _site_mask((rows, w1_ref.shape[-1]), rate, interpret, seed_val, pid, _SITE_FF_HIDDEN)
+        if rate > 0.0 else None
+    )
+    m_out = (
+        _site_mask((rows, d_model), rate, interpret, seed_val, pid, _SITE_FF_OUT)
+        if rate > 0.0 else None
+    )
+
+    ctx_heads = []
+    head_cache = []  # (q, k, v, p_raw, keep_mask)
+    for h in range(n_heads):
+        q, k, v, p = _attn_fwd_head(qkv, bm, h, d_model, head_dim, scale)
+        keep = (
+            _site_mask(p.shape, rate, interpret, seed_val, pid, h)
+            if rate > 0.0 else None
+        )
+        pe = p * keep * kp if rate > 0.0 else p
+        head_cache.append((q, k, v, p, keep))
+        ctx_heads.append(
+            jnp.dot(pe.astype(dtype), v, preferred_element_type=f32).astype(dtype)
+        )
+    ctx = jnp.concatenate(ctx_heads, axis=1)
+    a = jnp.dot(ctx, wo_ref[:], preferred_element_type=f32)
+    a = a + bo_ref[:].astype(f32)
+    if rate > 0.0:
+        a = a * m_attn * kp
+
+    inj = bias_ref[:, 0, :].astype(f32)
+    x1 = x0 + a + jnp.broadcast_to(
+        inj[:, None, :], (tile_b, seq_len, d_model)
+    ).reshape(rows, d_model)
+
+    ln2 = ln2_ref[:].astype(f32)
+    _, xh2, r2 = _ln_fwd(x1, ln2[0:1], ln2[1:2])
+    xn2 = (xh2 * ln2[0:1] + ln2[1:2]).astype(dtype)
+    hpre = jnp.dot(xn2, w1_ref[:], preferred_element_type=f32)
+    hpre = hpre + b1_ref[:].astype(f32)
+    h_act = jnp.maximum(hpre, 0.0)
+    hd = h_act * m_hid * kp if rate > 0.0 else h_act
+    hd16 = hd.astype(dtype)
+
+    # ---- backward ---------------------------------------------------------
+    g = g_ref[:].reshape(rows, d_model).astype(f32)
+
+    # FF block
+    df = g * m_out * kp if rate > 0.0 else g
+    df16 = df.astype(dtype)
+    dw2_ref[:] += jax.lax.dot_general(
+        hd16, df16, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    db2_ref[:] += jnp.sum(df, axis=0, keepdims=True)
+    dhd = jnp.dot(df16, w2_ref[:].T, preferred_element_type=f32)
+    dh = dhd * m_hid * kp if rate > 0.0 else dhd
+    dhpre = jnp.where(hpre > 0.0, dh, 0.0)
+    dhpre16 = dhpre.astype(dtype)
+    dw1_ref[:] += jax.lax.dot_general(
+        xn2, dhpre16, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    db1_ref[:] += jnp.sum(dhpre, axis=0, keepdims=True)
+    dxn2 = jnp.dot(dhpre16, w1_ref[:].T, preferred_element_type=f32)
+
+    dx1_ln, dln2_s, dln2_b = _ln_bwd(dxn2, xh2, r2, ln2[0:1])
+    dln2_ref[:] += jnp.concatenate([dln2_s, dln2_b], axis=0)
+    dx1 = g + dx1_ln
+
+    # per-sequence injection gradient: sum over the sequence axis
+    dbias_ref[:] = (
+        jnp.sum(dx1.reshape(tile_b, seq_len, d_model), axis=1, keepdims=True)
+    ).astype(dbias_ref.dtype)
+
+    # attention block
+    da = dx1 * m_attn * kp if rate > 0.0 else dx1
+    da16 = da.astype(dtype)
+    dbo_ref[:] += jnp.sum(da, axis=0, keepdims=True)
+    dwo_ref[:] += jax.lax.dot_general(
+        ctx, da16, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    dctx = jnp.dot(da16, wo_ref[:].T, preferred_element_type=f32).astype(dtype)
+
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for h in range(n_heads):
+        q, k, v, p, keep = head_cache[h]
+        pe = p * keep * kp if rate > 0.0 else p
+        dctx_h = dctx[:, h * head_dim : (h + 1) * head_dim]
+        dv = jax.lax.dot_general(
+            pe.astype(dtype), dctx_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dp = jax.lax.dot_general(
+            dctx_h, v, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )
+        if rate > 0.0:
+            dp = dp * keep * kp
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds16 = ds.astype(dtype)
+        dq = jax.lax.dot_general(
+            ds16, k, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds16, q, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        ) * scale
+        dq_parts.append(dq.astype(dtype))
+        dk_parts.append(dk.astype(dtype))
+        dv_parts.append(dv.astype(dtype))
+
+    dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=1)
+    dwqkv_ref[:] += jax.lax.dot_general(
+        xn1, dqkv, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    dbqkv_ref[:] += jnp.sum(dqkv.astype(f32), axis=0, keepdims=True)
+    dxn1 = jnp.dot(dqkv, wqkv_ref[:].T, preferred_element_type=f32)
+
+    dx0_ln, dln1_s, dln1_b = _ln_bwd(dxn1, xh1, r1, ln1[0:1])
+    dln1_ref[:] += jnp.concatenate([dln1_s, dln1_b], axis=0)
+    dx_ref[:] = (dx1 + dx0_ln).astype(dtype).reshape(tile_b, seq_len, d_model)
+
+
+def _full(shape):
+    return pl.BlockSpec(shape, lambda i, *_: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _layer_fwd_call(seed, x, bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
+                    b2, mask, n_heads, tile_b, causal, rate, interpret):
+    b, s, d = x.shape
+    rows = tile_b * s
+    kernel = functools.partial(
+        _fwd_kernel, n_heads=n_heads, seq_len=s, d_model=d, tile_b=tile_b,
+        causal=causal, rate=rate, interpret=interpret,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, s, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            _full(ln1.shape), _full(wqkv.shape), _full(bqkv.shape),
+            _full(wo.shape), _full(bo.shape), _full(ln2.shape),
+            _full(w1.shape), _full(b1.shape), _full(w2.shape), _full(b2.shape),
+            pl.BlockSpec((1, 1, rows), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_b, s, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(seed, x, bias.reshape(b, 1, d), ln1, wqkv, bqkv, wo, bo, ln2, w1, b1,
+      w2, b2, mask.reshape(b // tile_b, 1, rows))
+
+
+def _layer_bwd_call(seed, x, bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
+                    b2, mask, g, n_heads, tile_b, causal, rate, interpret):
+    b, s, d = x.shape
+    dff = w1.shape[-1]
+    rows = tile_b * s
+    kernel = functools.partial(
+        _bwd_kernel, n_heads=n_heads, seq_len=s, d_model=d, tile_b=tile_b,
+        causal=causal, rate=rate, interpret=interpret,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, s, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            _full(ln1.shape), _full(wqkv.shape), _full(bqkv.shape),
+            _full(wo.shape), _full(bo.shape), _full(ln2.shape),
+            _full(w1.shape), _full(b1.shape), _full(w2.shape), _full(b2.shape),
+            pl.BlockSpec((1, 1, rows), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, s, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, s, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            _full((2, d)), _full(wqkv.shape), _full((1, 3 * d)),
+            _full(wo.shape), _full((1, d)), _full((2, d)),
+            _full(w1.shape), _full((1, dff)), _full(w2.shape), _full((1, d)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, d), x.dtype),
+            jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((2, d), jnp.float32),
+            jax.ShapeDtypeStruct(wqkv.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * d), jnp.float32),
+            jax.ShapeDtypeStruct(wo.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((2, d), jnp.float32),
+            jax.ShapeDtypeStruct(w1.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, dff), jnp.float32),
+            jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(seed, x, bias.reshape(b, 1, d), ln1, wqkv, bqkv, wo, bo, ln2, w1, b1,
+      w2, b2, mask.reshape(b // tile_b, 1, rows), g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17))
+def fused_layer_train(x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
+                      b2, mask, seed, n_heads, tile_b, causal, dropout_rate):
+    """Differentiable fused transformer layer (training path).
+
+    ``seq_bias [B, D]`` is the pre-dropout-applied per-sequence injection
+    (pass zeros when none); its gradient is returned (sequence-summed).
+    ``seed`` is int32[1]; gradients flow to x, seq_bias and all weights.
+    """
+    interpret = jax.default_backend() == "cpu"
+    return _layer_fwd_call(seed, x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2,
+                           w1, b1, w2, b2, mask, n_heads, tile_b, causal,
+                           dropout_rate, interpret)
+
+
+def _rule_fwd(x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2,
+              mask, seed, n_heads, tile_b, causal, dropout_rate):
+    out = fused_layer_train(x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1,
+                            b1, w2, b2, mask, seed, n_heads, tile_b, causal,
+                            dropout_rate)
+    return out, (x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2,
+                 mask, seed)
+
+
+def _rule_bwd(n_heads, tile_b, causal, dropout_rate, res, g):
+    (x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2, mask,
+     seed) = res
+    interpret = jax.default_backend() == "cpu"
+    (dx, dbias, dln1, dwqkv, dbqkv, dwo, dbo, dln2, dw1, db1, dw2,
+     db2) = _layer_bwd_call(
+        seed, x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2,
+        mask, g, n_heads, tile_b, causal, dropout_rate, interpret,
+    )
+    float0 = jax.dtypes.float0
+    return (
+        dx,
+        dbias[:, 0, :].astype(seq_bias.dtype),
+        dln1.astype(ln1.dtype),
+        dwqkv.astype(wqkv.dtype),
+        dbqkv[0].astype(bqkv.dtype),
+        dwo.astype(wo.dtype),
+        dbo[0].astype(bo.dtype),
+        dln2.astype(ln2.dtype),
+        dw1.astype(w1.dtype),
+        db1[0].astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2[0].astype(b2.dtype),
+        np.zeros(mask.shape, float0),
+        np.zeros(seed.shape, float0),
+    )
+
+
+fused_layer_train.defvjp(_rule_fwd, _rule_bwd)

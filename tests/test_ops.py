@@ -428,3 +428,227 @@ class TestFusedEmbeddingVJP:
         g_fused = jax.grad(fused, argnums=(0, 1, 2, 3))(ct, at, gt, pt)
         for a, b in zip(g_ref, g_fused):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestFusedLayerTrain:
+    """Whole-layer fused forward+backward (ops/layer_vjp.py)."""
+
+    @staticmethod
+    def _ref_layer(x, bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2,
+                   mask, n_heads, causal):
+        from deepsvg_tpu.models.layers import layer_norm
+        from deepsvg_tpu.ops.attention import mha_reference
+
+        xf = x.astype(jnp.float32)
+        xn = layer_norm(xf, ln1)
+        a = mha_reference(xn, wqkv, bqkv, wo, bo, mask, n_heads, causal=causal)
+        xf = xf + a + bias[:, None, :].astype(jnp.float32)
+        xn2 = layer_norm(xf, ln2)
+        h = jnp.maximum(xn2 @ w1 + b1, 0.0)
+        return xf + (h @ w2 + b2)
+
+    def _inputs(self, rng, b=8, s=8, d=32, dff=64):
+        x, wqkv, bqkv, wo, bo = rand_inputs(rng, b, s, d)
+        ln1 = jnp.stack([jnp.ones(d), jnp.zeros(d)]).astype(jnp.float32)
+        ln2 = jnp.stack([1 + 0.1 * jnp.asarray(rng.standard_normal(d), jnp.float32),
+                         0.1 * jnp.asarray(rng.standard_normal(d), jnp.float32)])
+        w1 = jnp.asarray(rng.standard_normal((d, dff)) * 0.05, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal(dff) * 0.05, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((dff, d)) * 0.05, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal(d) * 0.05, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((b, d)) * 0.1, jnp.float32)
+        return x, bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_forward_matches_reference(self, rng, causal):
+        from deepsvg_tpu.ops.layer_vjp import fused_layer_train
+
+        b, s = 8, 8
+        args = self._inputs(rng, b=b, s=s)
+        mask = np.zeros((b, s), np.float32)
+        mask[:, 6:] = -np.inf
+        mask = jnp.asarray(mask)
+        seed = jnp.asarray([0], jnp.int32)
+        out = fused_layer_train(*args[:12], mask, seed, 4, 4, causal, 0.0)
+        ref = self._ref_layer(*args, mask, 4, causal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_grads_match_reference(self, rng):
+        from deepsvg_tpu.ops.layer_vjp import fused_layer_train
+
+        b, s = 8, 8
+        args = self._inputs(rng, b=b, s=s)
+        mask = np.zeros((b, s), np.float32)
+        mask[:, 6:] = -np.inf
+        mask = jnp.asarray(mask)
+        seed = jnp.asarray([0], jnp.int32)
+
+        argnums = tuple(range(12))
+        gf = jax.grad(
+            lambda *a: jnp.sum(
+                fused_layer_train(*a, mask, seed, 4, 4, False, 0.0) ** 2
+            ),
+            argnums=argnums,
+        )(*args)
+        gr = jax.grad(
+            lambda *a: jnp.sum(self._ref_layer(*a, mask, 4, False) ** 2),
+            argnums=argnums,
+        )(*args)
+        names = ["x", "bias", "ln1", "wqkv", "bqkv", "wo", "bo", "ln2",
+                 "w1", "b1", "w2", "b2"]
+        for n, a, b_ in zip(names, gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=5e-4,
+                err_msg=f"grad mismatch: {n}",
+            )
+
+    def test_dropout_mask_consistent_fwd_bwd(self, rng):
+        """Finite-difference check through the custom VJP with dropout on:
+        forward and backward must see the SAME masks."""
+        from deepsvg_tpu.ops.layer_vjp import fused_layer_train
+
+        b, s = 4, 8
+        args = self._inputs(rng, b=b, s=s)
+        mask = jnp.zeros((b, s), jnp.float32)
+        seed = jnp.asarray([7], jnp.int32)
+        rate = 0.3
+        x = args[0]
+        rest = args[1:]
+
+        def f(x_):
+            return jnp.sum(
+                fused_layer_train(x_, *rest, mask, seed, 4, 4, False, rate) ** 2
+            )
+
+        g = jax.grad(f)(x)
+        v = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+        eps = 1e-3
+        fd = (f(x + eps * v) - f(x - eps * v)) / (2 * eps)
+        np.testing.assert_allclose(float(jnp.sum(g * v)), float(fd), rtol=2e-2)
+
+    def test_model_train_step_fused_layers(self, rng):
+        """Full model train step routes through the fused layer kernels
+        (attn_impl=pallas, deterministic=False) and descends."""
+        from deepsvg_tpu.data.synthetic import generate_batch
+        from deepsvg_tpu.models import ModelConfig, SVGTransformer
+        from deepsvg_tpu.training.schedulers import warmup_step_decay
+        from deepsvg_tpu.training.trainer import (
+            create_train_state, jit_train_step, make_optimizer)
+
+        cfg = ModelConfig(
+            encode_stages=2, decode_stages=2, use_vae=False,
+            max_num_groups=3, max_seq_len=6, d_model=32, dim_feedforward=64,
+            dim_z=16, n_layers=1, n_layers_decode=1, n_heads=4, dropout=0.1,
+            attention_impl="pallas",
+        )
+        model = SVGTransformer(cfg)
+        margs = cfg.get_model_args()
+        batch = generate_batch(rng, 8, cfg.max_num_groups, cfg.max_seq_len)
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k in set(margs)}
+        opt = make_optimizer(warmup_step_decay(2e-3, 2, 1000))
+        state = create_train_state(model, opt, batch, margs)
+        step = jit_train_step(model, opt, margs)
+        weights = dict(kl_tolerance=0.1, loss_kl_weight=1.0,
+                       loss_visibility_weight=1.0, loss_cmd_weight=1.0,
+                       loss_args_weight=2.0)
+        losses = []
+        for _ in range(15):
+            state, res = step(state, batch, weights)
+            losses.append(float(res["loss"]))
+        assert losses[-1] < losses[0]
+
+    def test_model_grads_match_xla_path(self, rng):
+        """dropout=0: gradients of the pallas (fused-layer) model equal the
+        XLA-path model's gradients on identical params."""
+        import dataclasses
+
+        from deepsvg_tpu.data.synthetic import generate_batch
+        from deepsvg_tpu.models import ModelConfig, SVGTransformer
+        from deepsvg_tpu.models.loss import svg_loss
+
+        cfg_x = ModelConfig(
+            encode_stages=2, decode_stages=2, use_vae=False,
+            max_num_groups=3, max_seq_len=6, d_model=32, dim_feedforward=64,
+            dim_z=16, n_layers=1, n_layers_decode=1, n_heads=4, dropout=0.0,
+        )
+        cfg_p = dataclasses.replace(cfg_x, attention_impl="pallas")
+        margs = cfg_x.get_model_args()
+        batch = generate_batch(rng, 8, cfg_x.max_num_groups, cfg_x.max_seq_len)
+        data = [jnp.asarray(batch[k]) for k in margs]
+        model_x, model_p = SVGTransformer(cfg_x), SVGTransformer(cfg_p)
+        variables = model_x.init({"params": jax.random.PRNGKey(0)}, *data)
+        weights = dict(kl_tolerance=0.1, loss_kl_weight=1.0,
+                       loss_visibility_weight=1.0, loss_cmd_weight=1.0,
+                       loss_args_weight=2.0)
+
+        def loss_of(model):
+            def f(params):
+                out = model.apply(
+                    {"params": params}, *data, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)},
+                )
+                return svg_loss(out, weights, model.cfg)["loss"]
+            return f
+
+        lx, gx = jax.value_and_grad(loss_of(model_x))(variables["params"])
+        lp, gp = jax.value_and_grad(loss_of(model_p))(variables["params"])
+        np.testing.assert_allclose(float(lx), float(lp), rtol=1e-5)
+        flat_x = jax.tree_util.tree_leaves_with_path(gx)
+        flat_p = {jax.tree_util.keystr(k): v
+                  for k, v in jax.tree_util.tree_leaves_with_path(gp)}
+        for k, v in flat_x:
+            np.testing.assert_allclose(
+                np.asarray(v), np.asarray(flat_p[jax.tree_util.keystr(k)]),
+                atol=2e-4, err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}",
+            )
+
+
+class TestFusedDecodeStep:
+    """Fused whole-stack KV-cached decode (ops/decode.py + sample.py)."""
+
+    def _ar_model(self, rng, **kw):
+        import sys
+        sys.path.insert(0, "tests")
+        from test_model import init_and_forward, make_batch, small_cfg
+
+        cfg = small_cfg(encode_stages=1, decode_stages=1, use_vae=False,
+                        pred_mode="autoregressive", rel_targets=False,
+                        max_num_groups=2, max_seq_len=5, **kw)
+        cmds, args = make_batch(rng, cfg, grouped=True)
+        from deepsvg_tpu.models import SVGTransformer
+        model = SVGTransformer(cfg)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, cmds, args,
+                               cmds, args)
+        z = model.apply(variables, cmds, args, None, None, encode_mode=True)
+        return model, variables, z
+
+    def test_fused_matches_cached(self, rng):
+        """The fused decode must bit-match the einsum KV-cached scan."""
+        import dataclasses
+
+        from deepsvg_tpu.models import SVGTransformer
+        from deepsvg_tpu.models.sample import (
+            autoregressive_sample_cached, autoregressive_sample_fused)
+
+        model, variables, z = self._ar_model(rng)
+        c1, a1 = autoregressive_sample_cached(model, variables, z)
+        cfg_p = dataclasses.replace(model.cfg, attention_impl="pallas")
+        model_p = SVGTransformer(cfg_p)
+        c2, a2 = autoregressive_sample_fused(model_p, variables, z)
+        assert (np.asarray(c1) == np.asarray(c2)).all()
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
+
+    def test_greedy_sample_dispatches_fused(self, rng):
+        """greedy_sample with the pallas backend routes one-stage AR decode
+        through the fused path and matches the XLA backend output."""
+        import dataclasses
+
+        from deepsvg_tpu.models import SVGTransformer
+        from deepsvg_tpu.models.sample import greedy_sample
+
+        model, variables, z = self._ar_model(rng)
+        c1, a1 = greedy_sample(model, variables, z=z)
+        cfg_p = dataclasses.replace(model.cfg, attention_impl="pallas")
+        c2, a2 = greedy_sample(SVGTransformer(cfg_p), variables, z=z)
+        assert (np.asarray(c1) == np.asarray(c2)).all()
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
