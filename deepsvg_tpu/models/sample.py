@@ -204,6 +204,12 @@ def autoregressive_sample_fused(
     on the parameter tree (one-stage transformer decoders,
     cfg.decode_stages == 1). Bit-compatible with
     :func:`autoregressive_sample_cached` (tested).
+
+    MEASURED NEGATIVE RESULT (kept for evidence, not dispatched by default):
+    10x slower than the einsum cached scan on a v5e chip — decode is
+    bandwidth-bound on the K/V cache reads, which XLA's einsum lowering
+    already streams at full rate, while this kernel's per-head [tile, T, 32]
+    operands waste 3/4 of each VPU lane. See docs/PERFORMANCE.md.
     """
     cfg = model.cfg
     assert cfg.decode_stages == 1 and cfg.model_type == "transformer"
@@ -387,10 +393,10 @@ def greedy_sample(
             variables, commands_enc, args_enc, None, None, label=label,
             encode_mode=True, deterministic=True, rngs=rngs,
         )
-    if (cfg.attention_impl == "pallas" and cfg.model_type == "transformer"
-            and cfg.decode_stages == 1):
-        return autoregressive_sample_fused(model, variables, z, label=label,
-                                           temperature=temperature, key=key)
+    # NOTE: the fused whole-stack decode kernel (autoregressive_sample_fused)
+    # measured SLOWER than this einsum path on real hardware — the cached scan
+    # is bandwidth-bound on the K/V reads, which XLA already streams at full
+    # rate (docs/PERFORMANCE.md "Negative result: fused decode-stack kernel").
     return autoregressive_sample_cached(model, variables, z, label=label,
                                         temperature=temperature, key=key)
 

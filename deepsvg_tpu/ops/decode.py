@@ -79,29 +79,28 @@ def _decode_kernel(
         ctx_parts = []
         for h in range(n_heads):
             sl = slice(h * head_dim, (h + 1) * head_dim)
-            q_h = (qkv[:, d_model * 0 + h * head_dim :
-                        d_model * 0 + (h + 1) * head_dim] * scale).astype(dtype)
-            k_h = kc[:, :, sl]  # [tile_r, T, hd]
-            v_h = vc[:, :, sl]
-            # batched matvec: scores over the cached past positions. The LHS
-            # needs a (unit) non-contracting dim — Mosaic rejects an empty
-            # lhs_non_contracting_dims list.
-            s_past = jax.lax.dot_general(
-                q_h[:, None, :], k_h, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )[:, 0, :]  # [tile_r, T]
+            q_h = qkv[:, h * head_dim : (h + 1) * head_dim] * scale  # f32
+            # caches stay bf16 in HBM/VMEM (half the bandwidth — the decode
+            # bottleneck); the batched matvecs run f32 — Mosaic's batched
+            # tpu.matmul only lowers the f32 vector-like form.
+            k_h = kc[:, :, sl].astype(f32)  # [tile_r, T, hd]
+            v_h = vc[:, :, sl].astype(f32)
+            # batched matvec as a VPU broadcast-multiply + lane reduction:
+            # the dot_general form compiles alone but Mosaic fuses the
+            # following mask-add into the matmul accumulator and rejects it
+            # ("only constant accumulators supported")
+            s_past = jnp.sum(k_h * q_h[:, None, :], axis=-1)  # [tile_r, T]
             s_cur = jnp.sum(
-                q_h.astype(f32) * k_t[:, sl].astype(f32), axis=-1, keepdims=True
+                q_h * k_t[:, sl].astype(f32), axis=-1, keepdims=True
             )  # [tile_r, 1]
             # LN-bounded scores: exp without max-subtraction; exp(-inf)=0
             e_past = jnp.exp(s_past + add_mask)
             e_cur = jnp.exp(s_cur + kp_cur)
             denom = jnp.sum(e_past, axis=-1, keepdims=True) + e_cur
-            p_past = (e_past / denom).astype(dtype)
-            ctx_h = jax.lax.dot_general(
-                p_past[:, None, :], v_h, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32,
-            )[:, 0, :]  # [tile_r, hd]
+            p_past = e_past / denom
+            # VPU form again: any add following a tpu.matmul gets fused into
+            # its accumulator, which Mosaic only supports as a constant
+            ctx_h = jnp.sum(v_h * p_past[:, :, None], axis=1)  # [tile_r, hd]
             ctx_h = ctx_h + (e_cur / denom) * v_t[:, sl].astype(f32)
             ctx_parts.append(ctx_h.astype(dtype))
         ctx = jnp.concatenate(ctx_parts, axis=1)  # [tile_r, D]

@@ -68,18 +68,27 @@ def global_batch_from_local(batch: dict, mesh: Mesh, data_axis: str = "data") ->
 
 def make_parallel_train_step(model, optimizer, model_args, mesh: Mesh,
                              data_axis: str = "data"):
-    """Jit the train step with explicit shardings: state replicated, batch
-    sharded over ``data``. XLA inserts the gradient psum over ICI."""
+    """Data-parallel train step: ``shard_map`` over the ``data`` axis — each
+    shard computes its local forward/backward, the loss reduces globally
+    (psum'd masked means, exact single-device semantics), gradients psum over
+    ICI, and every shard applies the identical optimizer update.
+
+    shard_map (not pjit sharding constraints) is deliberate: the Pallas
+    kernels (fused layers/CE/heads) are custom calls that XLA's SPMD
+    partitioner cannot split — under shard_map each shard invokes them on its
+    local block, which is exactly the batch-grid tiling they are written for.
+    """
     from functools import partial
 
     from ..training.trainer import train_step
 
-    fn = partial(train_step, model=model, optimizer=optimizer, model_args=model_args)
-    repl = replicated(mesh)
-    batch_sh = batch_sharding(mesh, data_axis)
-    return jax.jit(
+    fn = partial(train_step, model=model, optimizer=optimizer,
+                 model_args=model_args, axis_name=data_axis)
+    sm = jax.shard_map(
         fn,
-        in_shardings=(repl, batch_sh, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
+        mesh=mesh,
+        in_specs=(P(), P(data_axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
     )
+    return jax.jit(sm, donate_argnums=(0,))

@@ -71,10 +71,20 @@ def train_step(
     model: SVGTransformer,
     optimizer: optax.GradientTransformation,
     model_args: list[str],
+    axis_name: str | None = None,
 ) -> tuple[TrainState, dict]:
     """One fully-fused training step. ``weights`` values may be traced scalars
-    (the KL ramp changes per step without recompilation)."""
+    (the KL ramp changes per step without recompilation).
+
+    ``axis_name`` marks a data-parallel ``shard_map`` axis: the loss reduces
+    globally (see ``svg_loss``), per-shard RNG streams are decorrelated, and
+    the (globally-normalized) gradients ``psum`` over the axis — every shard
+    then applies the identical optimizer update to its replicated state."""
     rng, drop_rng, vae_rng = jax.random.split(state.rng, 3)
+    if axis_name is not None:
+        shard = jax.lax.axis_index(axis_name)
+        drop_rng = jax.random.fold_in(drop_rng, shard)
+        vae_rng = jax.random.fold_in(vae_rng, shard)
     args = [batch[k] for k in model_args]
 
     def loss_fn(params):
@@ -87,10 +97,13 @@ def train_step(
             # the argument-logits tensor from the step's memory/bandwidth
             fused_ce=model.cfg.attention_impl == "pallas",
         )
-        res = svg_loss(out, weights, model.cfg)
+        res = svg_loss(out, weights, model.cfg, axis_name=axis_name)
         return res["loss"], res
 
     (_, res), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    if axis_name is not None:
+        # the loss is already globally normalized -> SUM the shard gradients
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, axis_name), grads)
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     new_state = state.replace(

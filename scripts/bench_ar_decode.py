@@ -26,7 +26,7 @@ def main():
     cfg = ModelConfig(
         encode_stages=1, decode_stages=1, use_vae=False,
         pred_mode="autoregressive", rel_targets=False,
-        max_num_groups=8, max_seq_len=58,  # max_total_len 60
+        max_num_groups=1, max_seq_len=60,  # max_total_len 60
         compute_dtype="bfloat16",
     )
     print("max_total_len:", cfg.max_total_len)
@@ -50,15 +50,15 @@ def main():
             zf, _ = jax.lax.scan(body, z, None, length=k)
             return jnp.sum(zf)
 
-        np.asarray(chain(z0, 1))
-        t1 = min(
-            (lambda: (lambda t0: (np.asarray(chain(z0, 1)), time.perf_counter() - t0)[1])(time.perf_counter()))()
-            for _ in range(3)
-        )
-        tn = min(
-            (lambda: (lambda t0: (np.asarray(chain(z0, 1 + n)), time.perf_counter() - t0)[1])(time.perf_counter()))()
-            for _ in range(3)
-        )
+        def once(k):
+            t0 = time.perf_counter()
+            np.asarray(chain(z0, k))
+            return time.perf_counter() - t0
+
+        once(1)       # compile k=1
+        once(1 + n)   # compile k=1+n
+        t1 = min(once(1) for _ in range(3))
+        tn = min(once(1 + n) for _ in range(3))
         per = (tn - t1) / n
         print(f"{tag}: {per*1e3:.1f} ms/decode  {B/per:,.0f} seq/s  "
               f"{B*cfg.max_total_len/per:,.0f} tok/s")

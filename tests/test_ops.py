@@ -638,9 +638,10 @@ class TestFusedDecodeStep:
         assert (np.asarray(c1) == np.asarray(c2)).all()
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
 
-    def test_greedy_sample_dispatches_fused(self, rng):
-        """greedy_sample with the pallas backend routes one-stage AR decode
-        through the fused path and matches the XLA backend output."""
+    def test_greedy_sample_backend_equivalence(self, rng):
+        """greedy_sample AR output is identical across backends (both use the
+        einsum cached scan — the fused decode kernel measured slower on chip
+        and is not dispatched; see docs/PERFORMANCE.md)."""
         import dataclasses
 
         from deepsvg_tpu.models import SVGTransformer
