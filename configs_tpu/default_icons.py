@@ -9,13 +9,13 @@ import random
 
 import numpy as np
 
-from deepsvg_tpu.models.config import hierarchical
+from deepsvg_tpu.models.config import hierarchical, tpu_fast
 from deepsvg_tpu.training.config import TrainConfig
 from deepsvg_tpu.training.schedulers import linear_ramp
 
 
 def make_model_config():
-    return hierarchical()
+    return tpu_fast(hierarchical())
 
 
 class Config(TrainConfig):

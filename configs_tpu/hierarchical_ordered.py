@@ -3,13 +3,13 @@ hierarchical ordered model with a deterministic linear bottleneck
 (use_vae=False — the documented reference gotcha, SURVEY.md §7)."""
 import dataclasses
 
-from deepsvg_tpu.models.config import hierarchical
+from deepsvg_tpu.models.config import hierarchical, tpu_fast
 
 from .default_icons import Config as IconsConfig
 
 
 def make_model_config():
-    return dataclasses.replace(hierarchical(), label_condition=False, use_vae=False)
+    return tpu_fast(dataclasses.replace(hierarchical(), label_condition=False, use_vae=False))
 
 
 class Config(IconsConfig):

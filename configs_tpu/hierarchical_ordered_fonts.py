@@ -3,13 +3,13 @@
 dim_z=128, label conditioning on 62 glyph classes, filter to 0-9A-Za-z."""
 import dataclasses
 
-from deepsvg_tpu.models.config import hierarchical
+from deepsvg_tpu.models.config import hierarchical, tpu_fast
 
 from .defaults_fonts import Config as FontsConfig
 
 
 def make_model_config():
-    return dataclasses.replace(hierarchical(), label_condition=True, dim_z=128)
+    return tpu_fast(dataclasses.replace(hierarchical(), label_condition=True, dim_z=128))
 
 
 class Config(FontsConfig):

@@ -3,13 +3,13 @@ HierarchicalSelfMatching): two-stage one-shot with on-device optimal
 assignment of predicted groups to targets."""
 import dataclasses
 
-from deepsvg_tpu.models.config import hierarchical_self_matching
+from deepsvg_tpu.models.config import hierarchical_self_matching, tpu_fast
 
 from .default_icons import Config as IconsConfig
 
 
 def make_model_config():
-    return hierarchical_self_matching()
+    return tpu_fast(hierarchical_self_matching())
 
 
 class Config(IconsConfig):

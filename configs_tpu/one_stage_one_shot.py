@@ -1,11 +1,11 @@
 """One-stage one-shot baseline (reference model/config.py:83-89)."""
-from deepsvg_tpu.models.config import one_stage_one_shot
+from deepsvg_tpu.models.config import one_stage_one_shot, tpu_fast
 
 from .default_icons import Config as IconsConfig
 
 
 def make_model_config():
-    return one_stage_one_shot()
+    return tpu_fast(one_stage_one_shot())
 
 
 class Config(IconsConfig):

@@ -1,12 +1,12 @@
 """Sketchformer baseline: one-stage autoregressive transformer with relative
 targets (reference model/config.py:74-80). Decoding uses the KV-cached scan."""
-from deepsvg_tpu.models.config import sketchformer
+from deepsvg_tpu.models.config import sketchformer, tpu_fast
 
 from .default_icons import Config as IconsConfig
 
 
 def make_model_config():
-    return sketchformer()
+    return tpu_fast(sketchformer())
 
 
 class Config(IconsConfig):

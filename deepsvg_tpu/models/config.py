@@ -55,9 +55,10 @@ class ModelConfig:
     # numerics: activations/attention in this dtype (params stay float32)
     compute_dtype: str = "float32"
 
-    # attention backend: "xla" (training; supports dropout) or "pallas"
-    # (fused VMEM kernel — inference hot path; auto-falls back to xla when
-    # not deterministic)
+    # attention backend: "xla" (plain jnp lowering) or "pallas" (fused VMEM
+    # kernels on BOTH paths: whole-layer inference kernels and whole-layer
+    # custom-VJP training kernels with in-kernel dropout; interpret-mode on
+    # CPU). See ops/layer.py, ops/layer_vjp.py.
     attention_impl: str = "xla"
 
     @property
@@ -101,9 +102,8 @@ class ModelConfig:
 
 
 # Named variants (reference model/config.py:63-108). The reference's LSTM
-# variants are exposed with model_type="lstm"; this rebuild implements them as
-# transformers with causal masking is NOT a substitute — LSTM cells are
-# provided in models/layers.py for parity.
+# variants keep model_type="lstm" (a causally-masked transformer is NOT a
+# substitute) — the LSTM cells live in models/model.py for parity.
 
 def sketchrnn() -> ModelConfig:
     return ModelConfig(model_type="lstm", pred_mode="autoregressive", rel_targets=True)
@@ -123,3 +123,21 @@ def hierarchical() -> ModelConfig:
 
 def hierarchical_self_matching() -> ModelConfig:
     return ModelConfig(encode_stages=2, decode_stages=2, self_match=True)
+
+
+def tpu_fast(cfg: ModelConfig) -> ModelConfig:
+    """The fast execution profile when running on real TPU hardware: bf16
+    compute + the fused Pallas kernel paths (inference layers, training
+    layer VJPs, embeddings, heads — measured 5.7x the stock f32 training
+    lowering and 4.9x inference, docs/PERFORMANCE.md). On any other backend
+    the config is returned unchanged (the Pallas kernels run interpret-mode
+    on CPU: correct but slow — only worth it on chips)."""
+    import dataclasses
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return cfg
+    return dataclasses.replace(
+        cfg, attention_impl="pallas", compute_dtype="bfloat16"
+    )

@@ -653,3 +653,49 @@ class TestFusedDecodeStep:
         c2, a2 = greedy_sample(SVGTransformer(cfg_p), variables, z=z)
         assert (np.asarray(c1) == np.asarray(c2)).all()
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
+
+
+class TestLabelConditionedFusedTrain:
+    def test_label_model_train_grads_match_xla(self, rng):
+        """Label-conditioned model, dropout=0: fused-train-layer gradients
+        (label injection folded into seq_bias) equal the XLA path's."""
+        import dataclasses
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model import make_batch, small_cfg
+
+        from deepsvg_tpu.models import SVGTransformer
+        from deepsvg_tpu.models.loss import svg_loss
+
+        cfg_x = small_cfg(encode_stages=2, decode_stages=2, use_vae=False,
+                          label_condition=True, n_labels=10, dropout=0.0)
+        cfg_p = dataclasses.replace(cfg_x, attention_impl="pallas")
+        cmds, args = make_batch(rng, cfg_x)
+        label = jnp.asarray([1, 3])
+        data = (cmds, args, cmds, args, label)
+        model_x, model_p = SVGTransformer(cfg_x), SVGTransformer(cfg_p)
+        variables = model_x.init({"params": jax.random.PRNGKey(0)}, *data)
+        weights = dict(kl_tolerance=0.1, loss_kl_weight=1.0,
+                       loss_visibility_weight=1.0, loss_cmd_weight=1.0,
+                       loss_args_weight=2.0)
+
+        def loss_of(model):
+            def f(params):
+                out = model.apply(
+                    {"params": params}, *data, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)},
+                )
+                return svg_loss(out, weights, model.cfg)["loss"]
+            return f
+
+        lx, gx = jax.value_and_grad(loss_of(model_x))(variables["params"])
+        lp, gp = jax.value_and_grad(loss_of(model_p))(variables["params"])
+        np.testing.assert_allclose(float(lx), float(lp), rtol=1e-5)
+        flat_p = {jax.tree_util.keystr(k): v
+                  for k, v in jax.tree_util.tree_leaves_with_path(gp)}
+        for k, v in jax.tree_util.tree_leaves_with_path(gx):
+            np.testing.assert_allclose(
+                np.asarray(v), np.asarray(flat_p[jax.tree_util.keystr(k)]),
+                atol=3e-4, err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}",
+            )
