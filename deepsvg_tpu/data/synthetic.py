@@ -46,8 +46,12 @@ def generate_icon(
     max_num_groups: int = 8,
     max_seq_len: int = 30,
     max_total_len: int = 240,
-) -> dict[str, np.ndarray]:
-    """One packed sample dict (same keys as the dataset loaders)."""
+    return_tensors: bool = False,
+):
+    """One packed sample dict (same keys as the dataset loaders).
+
+    ``return_tensors=True`` also returns the raw per-group ``[n, 14]`` row
+    tensors (the ``"tensor"`` key of the real loaders' ``get``)."""
     budget = max_total_len
     n_groups = int(rng.integers(1, max_num_groups + 1))
     tensors = []
@@ -58,7 +62,10 @@ def generate_icon(
             break
         tensors.append(_random_path(rng, n_cmds))
         budget -= n_cmds
-    return pack_groups(tensors, max_num_groups, max_seq_len, max_total_len)
+    packed = pack_groups(tensors, max_num_groups, max_seq_len, max_total_len)
+    if return_tensors:
+        return packed, tensors
+    return packed
 
 
 def generate_batch(
@@ -87,26 +94,67 @@ class SyntheticIconDataset:
     the training runtime (``__len__`` / ``get_batch``)."""
 
     def __init__(self, n: int = 1024, seed: int = 0, max_num_groups: int = 8,
-                 max_seq_len: int = 30, max_total_len: int | None = None):
+                 max_seq_len: int = 30, max_total_len: int | None = None,
+                 label_range: int | None = None):
         self.n = n
         self.seed = seed
         self.max_num_groups = max_num_groups
         self.max_seq_len = max_seq_len
         self.max_total_len = max_total_len or max_num_groups * max_seq_len
-        self._cache: dict[int, dict] = {}
+        self.label_range = label_range
+        self._cache: dict[int, tuple[dict, list]] = {}
 
     def __len__(self):
         return self.n
 
-    def __getitem__(self, idx: int) -> dict:
+    def _generate(self, idx: int) -> tuple[dict, list]:
         idx = int(idx) % self.n
         if idx not in self._cache:
             rng = np.random.default_rng(self.seed * 1_000_003 + idx)
-            self._cache[idx] = generate_icon(
-                rng, self.max_num_groups, self.max_seq_len, self.max_total_len
+            packed, tensors = generate_icon(
+                rng, self.max_num_groups, self.max_seq_len, self.max_total_len,
+                return_tensors=True,
             )
+            if self.label_range is not None:
+                packed["label"] = np.int32(int(rng.integers(0, self.label_range)))
+            self._cache[idx] = (packed, tensors)
         return self._cache[idx]
+
+    def __getitem__(self, idx: int) -> dict:
+        return self._generate(idx)[0]
+
+    def get(self, idx=0, model_args=None, random_aug=True, id=None, svg=None):
+        """Same surface as the real loaders' ``get`` (dataset.py:182) so the
+        experiment configs' ``set_train_vars``/``visualize`` hooks work
+        unchanged; ``"tensor"`` returns the raw per-group row tensors."""
+        packed, tensors = self._generate(idx)
+        keys = set(model_args) if model_args is not None else set(packed)
+        res = {k: v for k, v in packed.items() if k in keys}
+        if "tensor" in keys:
+            res["tensor"] = tensors
+        return res
 
     def get_batch(self, indices) -> dict:
         samples = [self[i] for i in indices]
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+def load_dataset(cfg):
+    """CLI hook (reference svgtensor_dataset.py:230 ``load_dataset``): a
+    self-contained synthetic dataset so every experiment config trains out of
+    the box — the real icons/fonts archives are external downloads
+    (BASELINE.md). Select with
+    ``cfg.dataloader_module = "deepsvg_tpu.data.synthetic"``; optional
+    ``cfg.synthetic_size`` (default 2048) and ``cfg.synthetic_seed`` (42)."""
+    model_cfg = cfg.model_cfg
+    label_range = None
+    if model_cfg is not None and model_cfg.label_condition:
+        label_range = model_cfg.n_labels
+    return SyntheticIconDataset(
+        n=getattr(cfg, "synthetic_size", 2048),
+        seed=getattr(cfg, "synthetic_seed", 42),
+        max_num_groups=cfg.max_num_groups,
+        max_seq_len=cfg.max_seq_len,
+        max_total_len=cfg.max_total_len,
+        label_range=label_range,
+    )

@@ -33,10 +33,27 @@ def set_seed(seed: int = 42):
     np.random.seed(seed)
 
 
+def enable_compilation_cache(path: str = "/root/.cache/jax_comp"):
+    """Persistent XLA compilation cache: repeat runs of the same configs skip
+    the (30-90 s per graph on a remote TPU) compiles."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass  # older jax without the flags
+
+
 def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
           log_dir: str = "./logs", debug: bool = False, resume: bool = False,
-          dataset=None, max_steps: int | None = None):
-    """Main entry (reference train.py:18-135)."""
+          dataset=None, max_steps: int | None = None,
+          profile_steps: tuple[int, int] | None = None):
+    """Main entry (reference train.py:18-135).
+
+    ``profile_steps=(start, stop)`` captures a ``jax.profiler`` device trace
+    of those optimization steps into ``<log_dir>/profile/<run>`` (viewable
+    with TensorBoard's profile plugin / Perfetto). The reference has no
+    profiler integration (SURVEY.md §5) — here it is one flag away.
+    """
     print("Parameters")
     cfg.print_params()
 
@@ -124,6 +141,17 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
         for n_iter, batch in enumerate(loader):
             step = int(state.step) + 1
 
+            if profile_steps is not None:
+                if step == profile_steps[0]:
+                    profile_dir = os.path.join(log_dir, "profile",
+                                               experiment_identifier)
+                    os.makedirs(profile_dir, exist_ok=True)
+                    jax.profiler.start_trace(profile_dir)
+                elif step == profile_steps[1]:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace written to {profile_dir}")
+
             weights = cfg.get_weights(step, epoch)
             batch_model = {k: v for k, v in batch.items() if k in set(model_args)}
             batch_model = device_put_sharded(batch_model, mesh)
@@ -191,15 +219,38 @@ def main():
     parser.add_argument("--log-dir", type=str, default="./logs")
     parser.add_argument("--debug", action="store_true", default=False)
     parser.add_argument("--resume", action="store_true", default=False)
+    parser.add_argument(
+        "--profile", type=str, default=None, metavar="START:STOP",
+        help="capture a jax.profiler device trace of steps [START, STOP) "
+             "into <log-dir>/profile/",
+    )
+    parser.add_argument(
+        "--dataset-module", type=str, default=None,
+        help="override cfg.dataloader_module (e.g. deepsvg_tpu.data.synthetic "
+             "to train any config without downloaded data)",
+    )
+    parser.add_argument(
+        "--max-steps", type=int, default=None,
+        help="stop after this many optimization steps (smoke runs)",
+    )
     args = parser.parse_args()
 
     n_dev = args.num_devices or jax.device_count()
     cfg = load_config(args.config_module, n_dev)
     model_name, experiment_name = args.config_module.split(".")[-2:]
+    if args.dataset_module:
+        cfg.dataloader_module = args.dataset_module
+
+    profile_steps = None
+    if args.profile:
+        start, stop = args.profile.split(":")
+        profile_steps = (int(start), int(stop))
 
     set_seed(42)
+    enable_compilation_cache()
     train(cfg, model_name, experiment_name, log_dir=args.log_dir,
-          debug=args.debug, resume=args.resume)
+          debug=args.debug, resume=args.resume, profile_steps=profile_steps,
+          max_steps=args.max_steps)
 
 
 if __name__ == "__main__":

@@ -167,6 +167,19 @@ class TestTrainLoop:
         )
         assert int(state2.step) == 6
 
+    def test_profiler_trace_capture(self, tmp_path):
+        """--profile equivalent: a jax.profiler device trace of steps
+        [start, stop) lands under <log_dir>/profile/."""
+        cfg = TinyConfig()
+        ds = tiny_dataset()
+        train(cfg, "tiny", "prof", log_dir=str(tmp_path), dataset=ds,
+              max_steps=4, profile_steps=(2, 4))
+        prof_root = os.path.join(str(tmp_path), "profile")
+        assert os.path.isdir(prof_root)
+        traces = [f for _, _, fs in os.walk(prof_root) for f in fs]
+        assert any(f.endswith((".pb", ".json.gz", ".trace.json.gz"))
+                   for f in traces), traces
+
     def test_config_serialization(self):
         cfg = TinyConfig()
         d = cfg.to_dict()
