@@ -22,16 +22,22 @@ from .config import ModelConfig
 
 def matching_cost(
     cmd_logits: jnp.ndarray,       # [N, P, S, n_commands]
-    args_logits: jnp.ndarray,      # [N, P, S, n_args, args_dim]
+    args_logits: jnp.ndarray,      # [N, P, S, n_args, args_dim] (or None)
     vis_logits: jnp.ndarray,       # [N, P, 2]
     tgt_commands: jnp.ndarray,     # [N, G, S+1] (with SOS)
     tgt_args: jnp.ndarray,         # [N, G, S+1, n_args]
     cfg: ModelConfig,
+    args_ce_pair: jnp.ndarray | None = None,  # [N, G, P, S, n_args]
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pairwise (target group g, proposal p) loss matrix.
 
     cost = 2*args CE + 1*cmd CE + 1*visibility CE (model/model.py:322-335).
     Returns ``(cost [N, G, P], visibility [N, G])``.
+
+    ``args_ce_pair`` supplies the pairwise argument CE precomputed by the
+    fused kernel (ops/ce.py ``args_ce_pairwise``) so the ``[N, P, S, n_args,
+    args_dim]`` logits never exist; otherwise it is derived from
+    ``args_logits`` by broadcasting (the reference's formulation).
     """
     vis = M.visibility_mask(tgt_commands)                       # [N, G]
     pad = M.padding_mask(tgt_commands, extended=True) * vis[..., None].astype(jnp.float32)
@@ -44,10 +50,13 @@ def matching_cost(
     ce_cmd = optax.softmax_cross_entropy_with_integer_labels(
         cmd_logits[:, None].astype(jnp.float32), tgt_c[:, :, None].astype(jnp.int32)
     )                                                            # [N, G, P, S]
-    ce_args = optax.softmax_cross_entropy_with_integer_labels(
-        args_logits[:, None].astype(jnp.float32),
-        (tgt_a[:, :, None] + 1).astype(jnp.int32),
-    )                                                            # [N, G, P, S, n_args]
+    if args_ce_pair is not None:
+        ce_args = args_ce_pair
+    else:
+        ce_args = optax.softmax_cross_entropy_with_integer_labels(
+            args_logits[:, None].astype(jnp.float32),
+            (tgt_a[:, :, None] + 1).astype(jnp.int32),
+        )                                                        # [N, G, P, S, n_args]
     ce_vis = optax.softmax_cross_entropy_with_integer_labels(
         vis_logits[:, None].astype(jnp.float32),
         jnp.broadcast_to(
@@ -134,6 +143,12 @@ def perfect_matching(
         jax.lax.stop_gradient(vis_logits),
         tgt_commands, tgt_args, cfg,
     )
+    return solve_assignment(cost, vis)
+
+
+def solve_assignment(cost: jnp.ndarray, vis: jnp.ndarray) -> jnp.ndarray:
+    """Assignment from a ``[N, G, P]`` cost matrix: exact on-device brute
+    force for P <= 8, scipy JV host callback beyond."""
     n, _, p = cost.shape
     if p <= 8:
         return assign_bruteforce(cost, vis)
@@ -143,6 +158,49 @@ def perfect_matching(
         cost, vis,
         vmap_method="sequential",
     )
+
+
+def fused_perfect_matching(
+    states: jnp.ndarray,           # [N, P, S, D] decoder output states
+    wa: jnp.ndarray,               # [D, n_args * args_dim] argument-head kernel
+    ba: jnp.ndarray,               # [n_args * args_dim]
+    cmd_logits: jnp.ndarray,       # [N, P, S, n_commands]
+    vis_logits: jnp.ndarray,       # [N, P, 2]
+    tgt_commands: jnp.ndarray,     # [N, G, S+1] (with SOS)
+    tgt_args: jnp.ndarray,         # [N, G, S+1, n_args]
+    cfg: ModelConfig,
+) -> jnp.ndarray:
+    """``perfect_matching`` without the argument logits: the pairwise args CE
+    comes from the fused kernel (ops/ce.py ``args_ce_pairwise``) straight off
+    the decoder states, so the ``[N, P, S, n_args, args_dim]`` tensor — the
+    self-match variant's memory wall (reference model/model.py:322-335) —
+    never exists. No gradients flow (matching is under no_grad in the
+    reference, model/model.py:321)."""
+    from ..ops.ce import args_ce_pairwise
+
+    n, p, s, _ = states.shape
+    g = tgt_commands.shape[1]
+    n_args = tgt_args.shape[-1]
+
+    tgt_a = tgt_args[..., 1:, :]                                 # [N, G, S]
+    # candidate targets per (sample, proposal, position): every target group's
+    # labels at that position, variant(=g)-major — [N, P, S, G*n_args]
+    t = jnp.moveaxis((tgt_a + 1).astype(jnp.int32), 1, 2)        # [N, S, G, n_args]
+    t = jnp.broadcast_to(t[:, None], (n, p) + t.shape[1:])
+    ce = args_ce_pairwise(
+        jax.lax.stop_gradient(states), jax.lax.stop_gradient(wa),
+        jax.lax.stop_gradient(ba), t.reshape(n, p, s, g * n_args), g,
+    )                                                            # [N, P, S, G*n_args]
+    ce_pair = jnp.transpose(
+        ce.reshape(n, p, s, g, n_args), (0, 3, 1, 2, 4)
+    )                                                            # [N, G, P, S, n_args]
+
+    cost, vis = matching_cost(
+        jax.lax.stop_gradient(cmd_logits), None,
+        jax.lax.stop_gradient(vis_logits),
+        tgt_commands, tgt_args, cfg, args_ce_pair=ce_pair,
+    )
+    return solve_assignment(cost, vis)
 
 
 def apply_assignment(assignment: jnp.ndarray, *logits: jnp.ndarray):

@@ -114,7 +114,8 @@ class FCN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, out: jnp.ndarray, argmax: bool = False, ce_targets=None):
+    def __call__(self, out: jnp.ndarray, argmax: bool = False, ce_targets=None,
+                 raw: bool = False):
         init = nn.initializers.lecun_normal()
         zeros = nn.initializers.zeros
         wc = self.param("command_kernel", init, (self.d_model, self.n_commands), jnp.float32)
@@ -141,6 +142,11 @@ class FCN(nn.Module):
             return cmd_ids, args_ids
 
         cmd_logits = out @ wc + bc
+        if raw:
+            # self-match fused path: hand back the states + argument-head
+            # weights so the caller can run the pairwise-cost and fused-CE
+            # kernels (ops/ce.py) without materializing the argument logits
+            return cmd_logits, (out, wa, ba)
         if ce_targets is not None:
             from ..ops.ce import args_ce
 
@@ -291,7 +297,7 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, z, commands=None, args=None, label=None, deterministic=True,
                  decode_index=None, decode_groups=None, decode_key_pad=None,
-                 argmax_head=False, ce_targets=None):
+                 argmax_head=False, ce_targets=None, match_targets=None):
         """``decode_index`` switches to the KV-cached single-token mode:
         ``commands/args`` then hold only the token at that position
         (``[N, G, 1]``) and ``decode_groups`` its running moveto count."""
@@ -373,11 +379,43 @@ class Decoder(nn.Module):
                 name="decoder",
             )(src, zb[:, None, :], label_emb=lb, deterministic=deterministic)
 
-        cmd_logits, args_logits = FCN(
+        fcn = FCN(
             cfg.d_model, cfg.n_commands, cfg.n_args, cfg.args_dim_out, dtype,
             name="fcn",
-        )(out, argmax=argmax_head,
-          ce_targets=_fold(ce_targets) if ce_targets is not None else None)
+        )
+
+        if match_targets is not None:
+            # fused self-match: score every (proposal, target) pair and the
+            # final CE straight off the decoder states (ops/ce.py) — neither
+            # the matching cost nor the loss materializes argument logits.
+            # Equivalent to the reference's permute-the-logits formulation
+            # (model/model.py:384-394) with the permutation applied to the
+            # TARGETS instead (CE is elementwise in the pairing, so
+            # loss(logits[perm], tgt) == loss(logits, tgt[argsort(perm)])).
+            from ..ops.ce import args_ce
+            from .matching import fused_perfect_matching
+
+            tgt_c, tgt_a = match_targets
+            cmd_logits, (states, wa, ba) = fcn(out, raw=True)
+            cmd_logits = _unfold(cmd_logits, n)      # [N, P, S, n_commands]
+            assignment = fused_perfect_matching(
+                _unfold(states, n), wa, ba, cmd_logits, hierarch_logits,
+                tgt_c, tgt_a, cfg,
+            )                                        # [N, P]
+            inv = jnp.argsort(assignment, axis=1)
+            tgt_c_p = jnp.take_along_axis(tgt_c, inv[:, :, None], axis=1)
+            tgt_a_p = jnp.take_along_axis(
+                tgt_a, inv[:, :, None, None], axis=1
+            )
+            ce = args_ce(
+                states, wa, ba,
+                _fold((tgt_a_p[..., 1:, :] + 1).astype(jnp.int32)),
+            )                                        # [N*P, S, n_args]
+            return cmd_logits, _unfold(ce, n), hierarch_logits, (tgt_c_p, tgt_a_p)
+
+        cmd_logits, args_logits = fcn(
+            out, argmax=argmax_head,
+            ce_targets=_fold(ce_targets) if ce_targets is not None else None)
 
         cmd_logits = _unfold(cmd_logits, n)      # [N, G, S, (n_commands)]
         args_logits = _unfold(args_logits, n)    # [N, G, S, n_args(, args_dim_out)]
@@ -458,18 +496,36 @@ class SVGTransformer(nn.Module):
         else:
             commands_dec_, args_dec_ = commands_dec, args_dec
 
-        # fused softmax-CE over the argument head (ops/ce.py): only valid when
-        # the loss is computed against in-order targets (no Hungarian
-        # re-assignment of proposals, which needs the full logits)
-        use_fused_ce = fused_ce and return_tgt and not cfg.self_match
+        # fused softmax-CE over the argument head (ops/ce.py). For the
+        # self-match (Hungarian) variant the decoder runs the fused pairwise
+        # cost + matching internally and returns targets permuted instead of
+        # logits (equivalent pairing) — no argument logits in either case.
+        use_fused_ce = fused_ce and return_tgt
+        fused_match = use_fused_ce and cfg.self_match
         ce_targets = (
-            (args_dec[..., 1:, :] + 1).astype(jnp.int32) if use_fused_ce else None
+            (args_dec[..., 1:, :] + 1).astype(jnp.int32)
+            if use_fused_ce and not cfg.self_match else None
         )
 
-        cmd_logits, args_logits, hierarch_logits = self.decoder(
+        dec_out = self.decoder(
             z, commands_dec_, args_dec_, label, deterministic=deterministic,
             argmax_head=argmax_head, ce_targets=ce_targets,
+            match_targets=(commands_dec, args_dec) if fused_match else None,
         )
+        if fused_match:
+            cmd_logits, args_ce_v, hierarch_logits, (tgt_c_p, tgt_a_p) = dec_out
+            res = {
+                "command_logits": cmd_logits,
+                "args_ce": args_ce_v,
+                "visibility_logits": hierarch_logits,
+                "tgt_commands": tgt_c_p,
+                "tgt_args": tgt_a_p,
+            }
+            if cfg.use_vae:
+                res["mu"] = mu
+                res["logsigma"] = logsigma
+            return res
+        cmd_logits, args_logits, hierarch_logits = dec_out
 
         if return_tgt and cfg.self_match:
             # Hungarian re-ordering of proposals to targets (model.py:384-394)

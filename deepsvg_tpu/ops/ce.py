@@ -46,6 +46,34 @@ def _fwd_kernel(
     ce_ref[:] = jnp.concatenate(cols, axis=1)  # [tile_rows, n_args]
 
 
+def _pairwise_kernel(
+    y_ref, wa_ref, ba_ref, tgt_ref, ce_ref,
+    *, n_args: int, args_vocab: int, tile_rows: int, n_variants: int,
+):
+    """Like ``_fwd_kernel`` but each row is scored against ``n_variants``
+    candidate target rows at once: the logits/logsumexp per argument slot are
+    computed ONCE in VMEM and re-gathered per variant. This is the self-match
+    (Hungarian) cost-matrix hot path — the reference builds the full
+    ``[N, P, S, n_args, args_dim]`` logits to score every (proposal, target)
+    pair (model/model.py:322-335); here the pairwise CE ``[rows, G*n_args]``
+    is the only head-sized tensor that ever exists."""
+    y = y_ref[:]  # [tile_rows, D]
+    cols: list = [None] * (n_variants * n_args)
+    for s in range(n_args):
+        sl = slice(s * args_vocab, (s + 1) * args_vocab)
+        lg = jnp.dot(y, wa_ref[:, sl], preferred_element_type=jnp.float32)
+        lg = lg + ba_ref[:, sl].astype(jnp.float32)
+        m = jnp.max(lg, axis=-1, keepdims=True)
+        lse = m + jnp.log(jnp.sum(jnp.exp(lg - m), axis=-1, keepdims=True))
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, args_vocab), 1)
+        for g in range(n_variants):
+            c = g * n_args + s
+            onehot = col == tgt_ref[:, c : c + 1]
+            tl = jnp.sum(jnp.where(onehot, lg, 0.0), axis=-1, keepdims=True)
+            cols[c] = lse - tl
+    ce_ref[:] = jnp.concatenate(cols, axis=1)  # [tile_rows, n_variants*n_args]
+
+
 def _bwd_kernel(
     y_ref, wa_ref, ba_ref, tgt_ref, g_ref, dy_ref, dwa_ref, dba_ref,
     *, n_args: int, args_vocab: int, tile_rows: int, d_model: int,
@@ -182,3 +210,49 @@ def args_ce(y, wa, ba, targets, tile_rows: int = 256, interpret: bool = False):
         tf = jnp.pad(tf, ((0, pad), (0, 0)))
     ce = _args_ce_core(yf, wa, ba, tf, n_args, tile_rows, interpret)
     return ce[:r].reshape(tuple(lead) + (n_args,))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_variants", "tile_rows", "interpret")
+)
+def args_ce_pairwise(y, wa, ba, targets, n_variants: int,
+                     tile_rows: int = 256, interpret: bool = False):
+    """Pairwise argument-head CE ``[..., n_variants * n_args]`` of ``y
+    [..., D]`` against ``n_variants`` candidate integer target rows per token
+    (``targets [..., n_variants * n_args]``, classes in ``[0, args_vocab)``,
+    variant-major layout) — the self-match cost matrix without ever
+    materializing the logits. Forward-only by design: the reference computes
+    its matching cost under ``no_grad`` (model/model.py:321), so no VJP is
+    needed; callers pass ``stop_gradient`` inputs."""
+    *lead, d = y.shape
+    k = targets.shape[-1]
+    n_args = k // n_variants
+    args_vocab = wa.shape[-1] // n_args
+    yf = y.reshape(-1, d)
+    tf = targets.reshape(-1, k).astype(jnp.int32)
+    r = yf.shape[0]
+    pad = (-r) % tile_rows
+    if pad:
+        yf = jnp.pad(yf, ((0, pad), (0, 0)))
+        tf = jnp.pad(tf, ((0, pad), (0, 0)))
+    interp = interpret or jax.default_backend() == "cpu"
+    kernel = functools.partial(
+        _pairwise_kernel, n_args=n_args, args_vocab=args_vocab,
+        tile_rows=tile_rows, n_variants=n_variants,
+    )
+    rp = yf.shape[0]
+    ce = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rp, k), jnp.float32),
+        grid=(rp // tile_rows,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _full_spec(wa.shape),
+            _full_spec((1, ba.shape[0])),
+            pl.BlockSpec((tile_rows, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_rows, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interp,
+    )(yf, wa, ba.reshape(1, -1), tf)
+    return ce[:r].reshape(tuple(lead) + (k,))

@@ -18,7 +18,7 @@ from datetime import datetime
 import jax
 import numpy as np
 
-from ..data.loader import DataLoader, device_put_sharded
+from ..data.loader import DataLoader, prefetch_to_device
 from ..parallel.mesh import make_mesh, make_parallel_train_step
 from .checkpoint import load_ckpt, save_ckpt
 from .config import TrainConfig, load_config
@@ -138,7 +138,10 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
         if epoch < first_epoch:
             continue
         print(f"Epoch {epoch + 1}")
-        for n_iter, batch in enumerate(loader):
+        device_batches = prefetch_to_device(
+            loader, size=2, mesh=mesh, keys=set(model_args)
+        )
+        for n_iter, batch_model in enumerate(device_batches):
             step = int(state.step) + 1
 
             if profile_steps is not None:
@@ -153,9 +156,6 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
                     print(f"profiler trace written to {profile_dir}")
 
             weights = cfg.get_weights(step, epoch)
-            batch_model = {k: v for k, v in batch.items() if k in set(model_args)}
-            batch_model = device_put_sharded(batch_model, mesh)
-
             state, res = step_fn(state, batch_model, weights)
 
             if cfg.num_steps is not None and step > cfg.num_steps:

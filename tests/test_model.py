@@ -188,6 +188,48 @@ class TestVariants:
             # assignment is a permutation
             assert sorted(assign_np[i].tolist()) == list(range(cfg.n_groups_prop))
 
+    def test_self_match_fused_matches_reference_path(self, rng):
+        """The fused self-match path (pairwise-cost kernel + target
+        permutation + fused CE head, no argument logits anywhere) must produce
+        the same loss AND gradients as the reference-style path (full logits,
+        Hungarian, logits permutation, standard CE)."""
+        cfg = small_cfg(encode_stages=2, decode_stages=2, use_vae=False,
+                        self_match=True)
+        cmds, args = make_batch(rng, cfg, n=3)
+        model = SVGTransformer(cfg)
+        variables = model.init({"params": jax.random.key(0)}, cmds, args, cmds, args)
+
+        def loss_fn(params, fused):
+            out = model.apply({"params": params}, cmds, args, cmds, args,
+                              fused_ce=fused)
+            return svg_loss(out, WEIGHTS, cfg)["loss"]
+
+        l0, g0 = jax.value_and_grad(lambda p: loss_fn(p, False))(variables["params"])
+        l1, g1 = jax.value_and_grad(lambda p: loss_fn(p, True))(variables["params"])
+        assert abs(float(l0) - float(l1)) < 1e-5
+        md = max(jax.tree.leaves(
+            jax.tree.map(lambda x, y: float(jnp.max(jnp.abs(x - y))), g0, g1)
+        ))
+        assert md < 1e-4, md
+
+    def test_self_match_fused_output_contract(self, rng):
+        """Fused self-match output dict: args_ce instead of args_logits, and
+        permuted targets whose pairing equals the reference's permuted-logits
+        pairing."""
+        cfg = small_cfg(encode_stages=2, decode_stages=2, use_vae=False,
+                        self_match=True)
+        cmds, args = make_batch(rng, cfg, n=2)
+        model = SVGTransformer(cfg)
+        variables = model.init({"params": jax.random.key(0)}, cmds, args, cmds, args)
+        out = model.apply(variables, cmds, args, cmds, args, fused_ce=True)
+        assert "args_ce" in out and "args_logits" not in out
+        # permuted targets hold the same multiset of rows per sample
+        tc = np.asarray(out["tgt_commands"])
+        for i in range(tc.shape[0]):
+            orig = sorted(map(tuple, np.asarray(cmds)[i].tolist()))
+            perm = sorted(map(tuple, tc[i].tolist()))
+            assert orig == perm
+
 
 class TestGradients:
     def test_grad_finite_hierarchical(self, rng):

@@ -341,6 +341,62 @@ class TestFusedArgsCE:
         for a, b in zip(g_ref, g_fused):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
+    def test_args_ce_pairwise_matches_optax(self, rng):
+        """Pairwise kernel (self-match cost path) against the broadcast
+        optax formulation, including row padding."""
+        import optax
+
+        from deepsvg_tpu.ops.ce import args_ce_pairwise
+
+        R, D, n_args, V, G = 70, 64, 5, 33, 3
+        y = jnp.asarray(rng.normal(size=(R, D)), jnp.float32)
+        wa = jnp.asarray(rng.normal(size=(D, n_args * V)) * 0.05, jnp.float32)
+        ba = jnp.asarray(rng.normal(size=(n_args * V,)) * 0.1, jnp.float32)
+        tgt = jnp.asarray(rng.integers(0, V, (R, G, n_args)), jnp.int32)
+
+        lg = (y @ wa + ba).reshape(R, 1, n_args, V)
+        ref = optax.softmax_cross_entropy_with_integer_labels(
+            jnp.broadcast_to(lg, (R, G, n_args, V)), tgt
+        )                                                     # [R, G, n_args]
+        got = args_ce_pairwise(
+            y, wa, ba, tgt.reshape(R, G * n_args), G, tile_rows=32
+        ).reshape(R, G, n_args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_fused_matching_equals_logits_matching(self, rng):
+        """fused_perfect_matching (states + head weights, pairwise kernel)
+        returns the same assignment as perfect_matching on materialized
+        logits."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model import make_batch, small_cfg
+
+        from deepsvg_tpu.models.matching import (
+            fused_perfect_matching, perfect_matching)
+
+        cfg = small_cfg(encode_stages=2, decode_stages=2, use_vae=False,
+                        self_match=True)
+        n, p, s = 3, cfg.n_groups_prop, cfg.max_seq_len + 1
+        d = cfg.d_model
+        cmds, args = make_batch(rng, cfg, n=n)
+        states = jnp.asarray(rng.normal(size=(n, p, s, d)), jnp.float32)
+        wa = jnp.asarray(rng.normal(size=(d, cfg.n_args * cfg.args_dim_out)) * 0.05,
+                         jnp.float32)
+        ba = jnp.asarray(rng.normal(size=(cfg.n_args * cfg.args_dim_out,)) * 0.1,
+                         jnp.float32)
+        cmd_logits = jnp.asarray(rng.normal(size=(n, p, s, cfg.n_commands)),
+                                 jnp.float32)
+        vis_logits = jnp.asarray(rng.normal(size=(n, p, 2)), jnp.float32)
+        args_logits = (states.reshape(-1, d) @ wa + ba).reshape(
+            n, p, s, cfg.n_args, cfg.args_dim_out
+        )
+        a_ref = perfect_matching(cmd_logits, args_logits, vis_logits,
+                                 cmds, args, cfg)
+        a_fused = fused_perfect_matching(states, wa, ba, cmd_logits, vis_logits,
+                                         cmds, args, cfg)
+        np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_fused))
+
     def test_train_step_fused_ce_matches_xla(self, rng):
         """Full train step: fused-CE (pallas) grads/losses match the stock
         lowering (xla) from identical params."""

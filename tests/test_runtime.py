@@ -74,6 +74,25 @@ class TestLoader:
         out = collate([{"a": np.zeros(2), "label": None}] * 3)
         assert "a" in out and "label" not in out
 
+    def test_prefetch_to_device(self):
+        """Device prefetch: yields every batch in order, on device, filtered
+        to the requested keys."""
+        from deepsvg_tpu.data.loader import prefetch_to_device
+
+        ds = tiny_dataset()
+        loader = DataLoader(ds, batch_size=8, num_workers=1, shuffle=False)
+        host = list(loader)
+        dev = list(prefetch_to_device(
+            DataLoader(ds, batch_size=8, num_workers=1, shuffle=False),
+            size=2, keys={"commands", "args"},
+        ))
+        assert len(dev) == len(host)
+        for h, d in zip(host, dev):
+            assert set(d) == {"commands", "args"}
+            assert hasattr(d["commands"], "devices")  # jax array
+            np.testing.assert_array_equal(np.asarray(d["commands"]),
+                                          h["commands"])
+
 
 class TestStats:
     def test_smoothed_value(self):
