@@ -1,0 +1,61 @@
+"""End-to-end training wall-clock: the full train() loop (loader threads,
+device prefetch, jitted step, stats) on the real chip.
+
+Prior measurement (docs/PERFORMANCE.md "Training loss curve"): 204 samples/s
+end-to-end vs 789/s device-only — the per-step host->device transfer through
+the remote relay sat on the critical path. ``prefetch_to_device`` overlaps
+it; this script measures what the loop actually delivers now.
+
+Method: two runs sharing a warm compile cache and one dataset instance; the
+second run's extra steps are all hot, so
+``samples/s = (steps2 - steps1) * B / (t2 - t1)`` cancels compile + setup.
+"""
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    from configs_tpu.hierarchical_ordered import Config
+    from deepsvg_tpu.data.synthetic import SyntheticIconDataset
+    from deepsvg_tpu.training.train import train
+
+    B = 128
+    cfg = Config(1)
+    cfg.batch_size = B
+    cfg.log_every = 10_000
+    cfg.val_every = 10_000
+    cfg.ckpt_every = 10_000
+    cfg.loader_num_workers = 8
+
+    ds = SyntheticIconDataset(
+        n=1024, max_num_groups=cfg.model_cfg.max_num_groups,
+        max_seq_len=cfg.model_cfg.max_seq_len,
+    )
+    # warm the in-memory dataset cache so generation cost isn't measured
+    for i in range(len(ds)):
+        ds[i]
+
+    def run(steps):
+        t0 = time.perf_counter()
+        train(cfg, "bench", "e2e", log_dir="/tmp/bench_e2e_logs", debug=True,
+              dataset=ds, max_steps=steps)
+        return time.perf_counter() - t0
+
+    run(3)  # compile warmup (persistent cache + in-process jit cache)
+    s1, s2 = 10, 110
+    t1 = run(s1)
+    t2 = run(s2)
+    sps = (s2 - s1) * B / (t2 - t1)
+    print(f"warm run {s1} steps: {t1:.1f}s; {s2} steps: {t2:.1f}s")
+    print(f"end-to-end training: {sps:,.0f} samples/s "
+          f"({(t2 - t1) / (s2 - s1) * 1e3:.1f} ms/step incl. input pipeline)")
+
+
+if __name__ == "__main__":
+    main()
