@@ -132,6 +132,11 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
     first_epoch = int(state.step) // steps_per_epoch
 
     done = False
+    # host-side step counter: fetching int(state.step) every step would block on
+    # the previous step's completion — a full device round-trip on the
+    # critical path. The counter syncs with device state once here (and after
+    # resume) and the loop then free-runs, letting step dispatch pipeline.
+    step_host = int(state.step)
     for epoch in epoch_range:
         if done:
             break
@@ -142,7 +147,7 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
             loader, size=2, mesh=mesh, keys=set(model_args)
         )
         for n_iter, batch_model in enumerate(device_batches):
-            step = int(state.step) + 1
+            step = step_host + 1
 
             if profile_steps is not None:
                 if step == profile_steps[0]:
@@ -157,6 +162,7 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
 
             weights = cfg.get_weights(step, epoch)
             state, res = step_fn(state, batch_model, weights)
+            step_host = step
 
             if cfg.num_steps is not None and step > cfg.num_steps:
                 done = True

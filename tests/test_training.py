@@ -138,6 +138,30 @@ class TestParallel:
         assert (b["commands"] == b2["commands"]).all()
 
 
+class TestPrefetch:
+    def test_prefetch_to_device_mesh(self):
+        """Device prefetch with a mesh: batches come back sharded over the
+        data axis and in order."""
+        import numpy as np
+
+        from deepsvg_tpu.data.loader import DataLoader, prefetch_to_device
+        from deepsvg_tpu.data.synthetic import SyntheticIconDataset
+
+        mesh = make_mesh(8)
+        ds = SyntheticIconDataset(n=32, max_num_groups=3, max_seq_len=6)
+        loader = DataLoader(ds, batch_size=16, num_workers=1, shuffle=False)
+        host = list(loader)
+        dev = list(prefetch_to_device(
+            DataLoader(ds, batch_size=16, num_workers=1, shuffle=False),
+            size=2, mesh=mesh, keys={"commands", "args"},
+        ))
+        assert len(dev) == len(host)
+        for h, d in zip(host, dev):
+            assert len(d["commands"].sharding.device_set) == 8
+            np.testing.assert_array_equal(np.asarray(d["commands"]),
+                                          h["commands"])
+
+
 class TestMultiHostInput:
     def test_global_batch_single_host_degrades_to_shard(self, rng):
         from deepsvg_tpu.parallel.mesh import global_batch_from_local, make_mesh
