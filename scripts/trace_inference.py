@@ -5,8 +5,6 @@ no tensorboard plugin needed).
 Usage: PYTHONPATH=/root/repo python scripts/trace_inference.py [train]
 """
 import glob
-import gzip
-import json
 import os
 import sys
 from collections import defaultdict
@@ -59,35 +57,38 @@ def capture_inference():
     jax.profiler.stop_trace()
 
 
-def top_ops(n_iters=8, top=25):
-    files = sorted(glob.glob(os.path.join(TRACE_DIR, "**", "*.trace.json.gz"),
+def top_ops(top=25):
+    """Aggregate the device 'XLA Ops' lane from the xplane proto (the
+    Chrome-trace json only carries host lanes through this relay; tensorflow's
+    bundled tsl protos decode the device plane)."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    files = sorted(glob.glob(os.path.join(TRACE_DIR, "**", "*.xplane.pb"),
                              recursive=True), key=os.path.getmtime)
     if not files:
         print("no trace found"); return
-    with gzip.open(files[-1], "rt") as f:
-        trace = json.load(f)
-    events = trace.get("traceEvents", [])
-    # TPU op events live on device-lane threads; aggregate by name
-    dur = defaultdict(float)
-    cnt = defaultdict(int)
-    for e in events:
-        if e.get("ph") == "X" and "dur" in e:
-            name = e.get("name", "?")
-            args = e.get("args", {})
-            # keep XLA op / kernel lanes; skip host python & runtime lanes
-            if "run_id" in args or "hlo_op" in args or name.startswith(
-                ("fusion", "copy", "custom-call", "dynamic", "scatter",
-                 "gather", "reduce", "convert", "transpose", "dot", "loop",
-                 "while", "broadcast", "iota", "select", "bitcast", "concat",
-                 "slice", "pad", "all-", "tpu", "Mosaic")
-            ):
-                dur[name] += e["dur"]
+    xs = xplane_pb2.XSpace()
+    with open(files[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        evmeta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            dur = defaultdict(float)
+            cnt = defaultdict(int)
+            for e in line.events:
+                name = evmeta.get(e.metadata_id, "?").split(" = ")[0]
+                dur[name] += e.duration_ps / 1e9  # -> ms
                 cnt[name] += 1
-    rows = sorted(dur.items(), key=lambda kv: -kv[1])[:top]
-    total = sum(dur.values())
-    print(f"top ops by total device time ({total/1e3:.1f} ms over ~{n_iters} iters):")
-    for name, d in rows:
-        print(f"  {d/1e3:9.2f} ms  ({100*d/total:4.1f}%)  x{cnt[name]:<4d} {name[:90]}")
+            total = sum(dur.values())
+            print(f"[{plane.name}] top ops by device time "
+                  f"({total:.1f} ms total):")
+            for name, d in sorted(dur.items(), key=lambda kv: -kv[1])[:top]:
+                print(f"  {d:9.2f} ms ({100*d/total:4.1f}%) x{cnt[name]:<4d} "
+                      f"{name[:90]}")
 
 
 if __name__ == "__main__":
