@@ -155,12 +155,23 @@ class InferenceSession:
 
 def load_session(config_module: str, checkpoint_path: str, dataset=None,
                  num_devices: int = 1) -> InferenceSession:
-    """Convenience: build a session from an experiment config + weights file."""
+    """Convenience: build a session from an experiment config + weights file.
+
+    ``checkpoint_path`` may be this framework's checkpoint OR a reference
+    PyTorch ``.pth.tar`` (e.g. the published pretrained
+    ``hierarchical_ordered{,_fonts}.pth.tar``), which is imported via
+    :func:`deepsvg_tpu.models.load_torch_checkpoint`."""
     from .training.checkpoint import load_model
     from .training.config import load_config
 
     cfg = load_config(config_module, num_devices)
     model = cfg.make_model()
+
+    if checkpoint_path.endswith((".pth.tar", ".pth", ".pt")):
+        from .models.torch_import import load_torch_checkpoint
+
+        params = load_torch_checkpoint(checkpoint_path, model.cfg)
+        return InferenceSession(model, {"params": params}, dataset=dataset, cfg=cfg)
 
     # init to get a params template, then load weights
     from .data.synthetic import generate_batch

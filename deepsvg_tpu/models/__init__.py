@@ -16,6 +16,7 @@ from .sample import (
     greedy_sample,
     one_shot_sample,
 )
+from .torch_import import load_torch_checkpoint, state_dict_to_params
 
 __all__ = [
     "ModelConfig", "SVGTransformer", "svg_loss",
@@ -24,4 +25,5 @@ __all__ = [
     "autoregressive_sample", "autoregressive_sample_cached",
     "flatten_groups_np", "greedy_sample",
     "one_shot_sample",
+    "load_torch_checkpoint", "state_dict_to_params",
 ]

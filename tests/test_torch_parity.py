@@ -51,87 +51,13 @@ def _t(x):  # torch tensor -> numpy
 
 
 def transplant(torch_model) -> dict:
-    """Map the torch state_dict onto the flax param tree."""
+    """Map the torch state_dict onto the flax param tree — through the
+    library importer (deepsvg_tpu.models.torch_import), so every parity test
+    below also validates the user-facing checkpoint-import path."""
+    from deepsvg_tpu.models.torch_import import state_dict_to_params
+
     sd = {k: _t(v) for k, v in torch_model.state_dict().items()}
-
-    def ln(prefix):
-        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
-
-    def ln_stacked(prefix):
-        return np.stack([sd[f"{prefix}.weight"], sd[f"{prefix}.bias"]])
-
-    def dense(prefix):
-        return {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}
-
-    def enc_layer(prefix):
-        return {
-            "wqkv": sd[f"{prefix}.self_attn.in_proj_weight"].T,
-            "bqkv": sd[f"{prefix}.self_attn.in_proj_bias"],
-            "wo": sd[f"{prefix}.self_attn.out_proj.weight"].T,
-            "bo": sd[f"{prefix}.self_attn.out_proj.bias"],
-            "norm1": ln_stacked(f"{prefix}.norm1"),
-            "norm2": ln_stacked(f"{prefix}.norm2"),
-            "ff1_kernel": sd[f"{prefix}.linear1.weight"].T,
-            "ff1_bias": sd[f"{prefix}.linear1.bias"],
-            "ff2_kernel": sd[f"{prefix}.linear2.weight"].T,
-            "ff2_bias": sd[f"{prefix}.linear2.bias"],
-        }
-
-    def dec_layer(prefix):
-        d = enc_layer(prefix)
-        d["glob_kernel"] = sd[f"{prefix}.linear_global.weight"].T
-        d["glob_bias"] = sd[f"{prefix}.linear_global.bias"]
-        return d
-
-    def stack(prefix, n, layer_fn):
-        out = {f"layer_{i}": layer_fn(f"{prefix}.layers.{i}") for i in range(n)}
-        out["norm"] = ln(f"{prefix}.norm")
-        return out
-
-    def embedding(prefix):
-        return {
-            "command_embed": sd[f"{prefix}.command_embed.weight"],
-            "arg_embed": sd[f"{prefix}.arg_embed.weight"],
-            "embed_fcn_kernel": sd[f"{prefix}.embed_fcn.weight"].T,
-            "embed_fcn_bias": sd[f"{prefix}.embed_fcn.bias"],
-            "pos_embed": sd[f"{prefix}.pos_encoding.pos_embed.weight"],
-        }
-
-    params = {
-        "encoder": {
-            "embedding": embedding("encoder.embedding"),
-            "encoder": stack("encoder.encoder", 4, enc_layer),
-            "hierarchical_PE": {
-                "pos_embed": sd["encoder.hierarchical_PE.pos_embed.weight"]
-            },
-            "hierarchical_encoder": stack("encoder.hierarchical_encoder", 4, enc_layer),
-        },
-        "resnet": {
-            f"linear{i}": dense(f"resnet.linear{i}.0") for i in range(1, 5)
-        },
-        "bottleneck": {"bottleneck": dense("bottleneck.bottleneck")},
-        "decoder": {
-            "hierarchical_embedding": {
-                "PE": {"pos_embed": sd["decoder.hierarchical_embedding.PE.pos_embed.weight"]}
-            },
-            "hierarchical_decoder": stack("decoder.hierarchical_decoder", 4, dec_layer),
-            "hierarchical_fcn": {
-                "visibility_fcn": dense("decoder.hierarchical_fcn.visibility_fcn"),
-                "z_fcn": dense("decoder.hierarchical_fcn.z_fcn"),
-            },
-            "embedding": {
-                "PE": {"pos_embed": sd["decoder.embedding.PE.pos_embed.weight"]}
-            },
-            "decoder": stack("decoder.decoder", 4, dec_layer),
-            "fcn": {
-                "command_kernel": sd["decoder.fcn.command_fcn.weight"].T,
-                "command_bias": sd["decoder.fcn.command_fcn.bias"],
-                "args_kernel": sd["decoder.fcn.args_fcn.weight"].T,
-                "args_bias": sd["decoder.fcn.args_fcn.bias"],
-            },
-        },
-    }
-    return jax.tree.map(jnp.asarray, params)
+    return state_dict_to_params(sd, jax_cfg())
 
 
 @pytest.fixture(scope="module")
@@ -283,3 +209,74 @@ class TestForwardParity:
         # args can differ on near-ties of untrained logits; require high overlap
         args_agree = (np.asarray(a_j) == _t(a_t)).mean()
         assert args_agree > 0.97, f"args agreement {args_agree}"
+
+
+class TestCheckpointImport:
+    def test_load_pth_tar_roundtrip(self, models_and_batch, tmp_path):
+        """A reference-format .pth.tar ({'model': state_dict, 'cfg': ...})
+        loads through load_torch_checkpoint into the identical param tree
+        (incl. the DataParallel 'module.' prefix case)."""
+        from deepsvg_tpu.models.torch_import import load_torch_checkpoint
+
+        tm, jm, params, cmds, args = models_and_batch
+        for prefix in ("", "module."):
+            sdict = {prefix + k: v for k, v in tm.state_dict().items()}
+            path = tmp_path / f"ckpt{bool(prefix)}.pth.tar"
+            torch.save({"model": sdict, "cfg": {"some": "dict"}}, str(path))
+            loaded = load_torch_checkpoint(str(path), jax_cfg())
+            flat_a = jax.tree.leaves(params)
+            flat_b = jax.tree.leaves(loaded)
+            assert len(flat_a) == len(flat_b)
+            for a, b in zip(flat_a, flat_b):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_load_session_accepts_pth_tar(self, models_and_batch, tmp_path):
+        """InferenceSession built straight from a reference-format checkpoint
+        (the notebooks/GUI entry path for the published pretrained files)."""
+        from deepsvg_tpu.inference import load_session
+
+        tm, jm, params, cmds, args = models_and_batch
+        path = tmp_path / "pretrained.pth.tar"
+        torch.save({"model": tm.state_dict()}, str(path))
+        sess = load_session("configs_tpu.hierarchical_ordered", str(path))
+        z_sess = sess.encode({"commands": jnp.asarray(cmds),
+                              "args": jnp.asarray(args)})
+        z_direct = jm.apply({"params": params}, jnp.asarray(cmds),
+                            jnp.asarray(args), None, None, encode_mode=True)
+        np.testing.assert_allclose(np.asarray(z_sess), np.asarray(z_direct),
+                                   atol=2e-2)
+
+    def test_label_conditioned_mapping(self):
+        """Fonts-style config (label_condition): label embeddings and the
+        per-layer linear_global2 injections map over."""
+        import dataclasses
+
+        from deepsvg.model.config import Hierarchical as TorchHierarchical
+        from deepsvg.model.model import SVGTransformer as TorchSVGTransformer
+        from deepsvg_tpu.models.torch_import import state_dict_to_params
+
+        tcfg = TorchHierarchical()
+        tcfg.dropout = 0.0
+        tcfg.use_vae = True
+        tcfg.label_condition = True
+        tcfg.n_labels = 12
+        torch.manual_seed(1)
+        tm = TorchSVGTransformer(tcfg).eval()
+        jcfg = dataclasses.replace(
+            jax_cfg(), use_vae=True, label_condition=True, n_labels=12
+        )
+        sd = {k: _t(v) for k, v in tm.state_dict().items()}
+        params = state_dict_to_params(sd, jcfg)
+        # structure check: flax init accepts the imported tree verbatim
+        jm = SVGTransformer(jcfg)
+        cmds = jnp.zeros((2, jcfg.max_num_groups, jcfg.max_seq_len + 2), jnp.int32)
+        args_ = jnp.full(cmds.shape + (11,), -1.0)
+        label = jnp.asarray([1, 2])
+        ref = jm.init({"params": jax.random.key(0), "vae": jax.random.key(1)},
+                      cmds, args_, cmds, args_, label=label)["params"]
+        ref_paths = {jax.tree_util.keystr(p)
+                     for p, _ in jax.tree_util.tree_leaves_with_path(ref)}
+        got_paths = {jax.tree_util.keystr(p)
+                     for p, _ in jax.tree_util.tree_leaves_with_path(params)}
+        assert ref_paths == got_paths, (
+            sorted(ref_paths - got_paths), sorted(got_paths - ref_paths))
