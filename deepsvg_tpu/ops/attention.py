@@ -63,10 +63,10 @@ def _fused_mha_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [rows, rows]
-        scores = scores + big_mask
-        # no max-subtraction: inputs are LayerNorm-bounded so scores stay far
-        # below f32 exp overflow, and exp(-inf) = 0 handles the mask — this
-        # saves a full VPU reduction pass over the score block
+        # two-sided clamp instead of a row-max reduce — see ops/layer.py
+        # note (exact for |scores| <= 75; the training kernels max-subtract
+        # exactly). Clamp BEFORE the mask add so padded keys stay -inf.
+        scores = jnp.clip(scores, -75.0, 75.0) + big_mask
         exp = jnp.exp(scores)
         p = (exp / jnp.sum(exp, axis=-1, keepdims=True)).astype(x.dtype)
 

@@ -30,7 +30,9 @@ def _probs(qkv, big_mask, h, d_model, head_dim, scale, dtype):
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     scores = scores + big_mask
-    exp = jnp.exp(scores)
+    # max-subtracted softmax (see ops/layer.py note: q·k can overflow exp)
+    m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), -1e30)
+    exp = jnp.exp(scores - m)
     p = exp / jnp.sum(exp, axis=-1, keepdims=True)
     return q, k, p  # p in f32
 

@@ -93,9 +93,11 @@ def _decode_kernel(
             s_cur = jnp.sum(
                 q_h * k_t[:, sl].astype(f32), axis=-1, keepdims=True
             )  # [tile_r, 1]
-            # LN-bounded scores: exp without max-subtraction; exp(-inf)=0
-            e_past = jnp.exp(s_past + add_mask)
-            e_cur = jnp.exp(s_cur + kp_cur)
+            # two-sided clamp (see ops/layer.py note: q·k can exceed exp's
+            # f32 range both ways once QKV norms grow); clamp before the
+            # mask add so masked positions stay exp(-inf)=0
+            e_past = jnp.exp(jnp.clip(s_past, -75.0, 75.0) + add_mask)
+            e_cur = jnp.exp(jnp.clip(s_cur, -75.0, 75.0) + kp_cur)
             denom = jnp.sum(e_past, axis=-1, keepdims=True) + e_cur
             p_past = e_past / denom
             # VPU form again: any add following a tpu.matmul gets fused into

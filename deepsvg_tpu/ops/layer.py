@@ -43,11 +43,17 @@ def _attention_block(xn, wqkv_ref, bqkv_ref, wo_ref, bo_ref, big_mask,
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        # f32 softmax, no max-subtraction (LN-bounded scores cannot overflow
-        # exp; exp(-inf)=0 handles masking). Measured: bf16 softmax is SLOWER
-        # here — Mosaic's (16,128) bf16 tiling adds relayouts on the
-        # [rows, rows] block that outweigh the halved bytes.
-        scores = scores + big_mask
+        # f32 softmax with a two-sided score CLAMP (not max-subtraction): LN
+        # bounds x but not q·k — rare rows can exceed exp's f32 range in
+        # BOTH directions once QKV norms grow (a flagship self-match training
+        # run NaN'd from this; all-negative rows also underflow to a 0/0
+        # after TPU subnormal flush). The training kernels (ops/layer_vjp.py)
+        # max-subtract exactly; here on the inference hot path a full
+        # row-max reduce costs ~20% end-to-end (22.8k -> 18.1k samples/s
+        # measured), while the fuseable clip is free: exact whenever
+        # |scores| <= 75 (typical scores are O(10)), saturating beyond.
+        # Clamp BEFORE the mask add so padded keys stay exp(-inf) = 0.
+        scores = jnp.clip(scores, -75.0, 75.0) + big_mask
         exp = jnp.exp(scores)
         p = (exp / jnp.sum(exp, axis=-1, keepdims=True)).astype(xn.dtype)
         ctx_heads.append(

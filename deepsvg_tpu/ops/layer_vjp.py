@@ -91,7 +91,12 @@ def _attn_fwd_head(qkv, big_mask, h, d_model, head_dim, scale):
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    exp = jnp.exp(scores + big_mask)  # LN-bounded: no max-subtraction needed
+    # max-subtraction matters in training: QKV norms grow and rare aligned
+    # rows overflow exp's f32 range (see ops/layer.py note). The shift is a
+    # softmax identity, so the recomputing backward stays exact.
+    scores = scores + big_mask
+    m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), -1e30)
+    exp = jnp.exp(scores - m)
     p = exp / jnp.sum(exp, axis=-1, keepdims=True)
     return q, k, v, p
 

@@ -1,17 +1,21 @@
-"""600-step flagship training-curve validation on the real chip.
+"""600-step training-curve validation on the real chip.
 
-Same recipe as docs/train_curve_fused.json: flagship hierarchical_ordered
-model, synthetic icons, batch 128, bf16, dropout 0.1, pallas backend.
-Writes docs/train_curve_fusedlayer.json for comparison against the earlier
-einsum-path and fused-attention runs.
+Same recipe as docs/train_curve_fused.json: flagship model, synthetic icons,
+batch 128, bf16, dropout 0.1. Variants (argv[1]):
+  fusedlayer    - hierarchical_ordered, pallas fully-fused path (default)
+  selfmatch     - hierarchical self-matching, fused pairwise-cost path
+  selfmatch_xla - hierarchical self-matching, stock XLA path (parity twin)
+Writes docs/train_curve_<variant>.json.
 """
 import json
+import sys
 import time
 
 import numpy as np
 
 
 def main():
+    variant = sys.argv[1] if len(sys.argv) > 1 else "fusedlayer"
     import jax
     import jax.numpy as jnp
     import optax
@@ -28,7 +32,10 @@ def main():
     B, STEPS = 128, 600
     cfg = ModelConfig(
         encode_stages=2, decode_stages=2, use_vae=False,
-        compute_dtype="bfloat16", attention_impl="pallas", dropout=0.1,
+        self_match=variant.startswith("selfmatch"),
+        compute_dtype="bfloat16",
+        attention_impl="xla" if variant.endswith("_xla") else "pallas",
+        dropout=0.1,
     )
     model = SVGTransformer(cfg)
     margs = cfg.get_model_args()
@@ -67,8 +74,9 @@ def main():
     wall = time.time() - t0
     curve["batch_size"] = B
     curve["wall_seconds"] = wall
-    curve["path"] = "pallas fully-fused layer fwd+bwd (layer_vjp), bf16, dropout 0.1"
-    with open("docs/train_curve_fusedlayer.json", "w") as f:
+    curve["path"] = (f"{cfg.attention_impl} backend, self_match={cfg.self_match}, "
+                     "bf16, dropout 0.1")
+    with open(f"docs/train_curve_{variant}.json", "w") as f:
         json.dump(curve, f)
     print("wall:", wall)
 

@@ -29,6 +29,22 @@ class TestFusedMHA:
                         tile_b=pick_tile_b(b, s))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    def test_overflow_clamp_stays_finite(self, rng):
+        """Inference kernels clamp scores at 85 (exp overflow guard, see
+        ops/layer.py): with QKV scaled so q.k >> f32 exp range, output is
+        finite; at moderate scale (scores < 85) it is still exact."""
+        b, s, d, h = 8, 8, 64, 4
+        x, wqkv, bqkv, wo, bo = rand_inputs(rng, b, s, d)
+        mask = jnp.zeros((b, s), jnp.float32)
+        out = fused_mha(x, wqkv * 100.0, bqkv, wo, bo, mask, n_heads=h,
+                        tile_b=4)
+        assert np.isfinite(np.asarray(out)).all()
+        ref = mha_reference(x, wqkv * 3.0, bqkv, wo, bo, mask, h)
+        out2 = fused_mha(x, wqkv * 3.0, bqkv, wo, bo, mask, n_heads=h,
+                         tile_b=4)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-5)
+
     def test_causal_matches_reference(self, rng):
         b, s, d, h = 8, 16, 64, 4
         x, wqkv, bqkv, wo, bo = rand_inputs(rng, b, s, d)
@@ -557,6 +573,29 @@ class TestFusedLayerTrain:
                 np.asarray(a), np.asarray(b_), atol=5e-4,
                 err_msg=f"grad mismatch: {n}",
             )
+
+    def test_softmax_overflow_regression(self, rng):
+        """exp-overflow regression (flagship self-match NaN'd at step ~380 on
+        chip): with QKV weights scaled so q.k far exceeds exp's f32 range,
+        the fused layer must stay finite and match the (max-subtracting) XLA
+        reference. LN bounds x, NOT q.k — max-subtraction is mandatory."""
+        from deepsvg_tpu.ops.layer_vjp import fused_layer_train
+
+        b, s = 8, 8
+        args = list(self._inputs(rng, b=b, s=s))
+        args[3] = args[3] * 100.0  # wqkv: scores ~O(1e4) >> 88
+        mask = jnp.zeros((b, s), jnp.float32)
+        seed = jnp.asarray([0], jnp.int32)
+        out = fused_layer_train(*args[:12], mask, seed, 4, 4, False, 0.0)
+        ref = self._ref_layer(*args, mask, 4, False)
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+        g = jax.grad(
+            lambda x_: jnp.sum(
+                fused_layer_train(x_, *args[1:12], mask, seed, 4, 4, False, 0.0) ** 2
+            )
+        )(args[0])
+        assert np.isfinite(np.asarray(g)).all()
 
     def test_dropout_mask_consistent_fwd_bwd(self, rng):
         """Finite-difference check through the custom VJP with dropout on:
