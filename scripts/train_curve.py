@@ -5,6 +5,7 @@ batch 128, bf16, dropout 0.1. Variants (argv[1]):
   fusedlayer    - hierarchical_ordered, pallas fully-fused path (default)
   selfmatch     - hierarchical self-matching, fused pairwise-cost path
   selfmatch_xla - hierarchical self-matching, stock XLA path (parity twin)
+  long          - hierarchical_ordered, pallas, 5000-step stability soak
 Writes docs/train_curve_<variant>.json.
 """
 import json
@@ -29,7 +30,7 @@ def main():
     from deepsvg_tpu.training.trainer import (
         create_train_state, jit_train_step, make_optimizer)
 
-    B, STEPS = 128, 600
+    B, STEPS = 128, (5000 if variant == "long" else 600)
     cfg = ModelConfig(
         encode_stages=2, decode_stages=2, use_vae=False,
         self_match=variant.startswith("selfmatch"),
@@ -64,7 +65,7 @@ def main():
     curve = {"steps": [], "loss": [], "loss_cmd": [], "loss_args": []}
     for i in range(1, STEPS + 1):
         state, res = step(state, pool[i % len(pool)], weights)
-        if i % 50 == 0:
+        if i % (250 if variant == "long" else 50) == 0:
             curve["steps"].append(i)
             curve["loss"].append(float(res["loss"]))
             curve["loss_cmd"].append(float(res["loss_cmd"]))
