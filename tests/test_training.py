@@ -37,11 +37,19 @@ def device_batch(batch, model_args):
 
 class TestSchedulers:
     def test_warmup_then_decay(self):
+        """Reference-exact semantics (see schedulers.py docstring +
+        test_torch_parity_grad.py::TestLRScheduleParity): step 0 at lr=0,
+        base reached AT warmup_steps, decay boundaries every decay_every/2
+        post-warmup (the reference double-steps its StepLR)."""
         sched = warmup_step_decay(1e-3, warmup_steps=10, decay_every=100, gamma=0.5)
-        assert float(sched(0)) < 1.5e-4
-        np.testing.assert_allclose(float(sched(9)), 1e-3, rtol=1e-5)
+        assert float(sched(0)) == 0.0
+        np.testing.assert_allclose(float(sched(9)), 9e-4, rtol=1e-5)
+        np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-5)
         np.testing.assert_allclose(float(sched(50)), 1e-3, rtol=1e-5)
-        np.testing.assert_allclose(float(sched(115)), 5e-4, rtol=1e-5)
+        # boundary: 2*(s-10)+9 >= 100  =>  s = 56
+        np.testing.assert_allclose(float(sched(55)), 1e-3, rtol=1e-5)
+        np.testing.assert_allclose(float(sched(56)), 5e-4, rtol=1e-5)
+        np.testing.assert_allclose(float(sched(115)), 2.5e-4, rtol=1e-5)
 
 
 class TestTrainStep:
