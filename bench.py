@@ -80,12 +80,23 @@ def main():
     per_iter = (tn - t1) / n_iters
     samples_per_sec = batch_size / per_iter
 
-    print(json.dumps({
+    # MFU: analytic matmul FLOPs (utils/flops.py) vs chip peak bf16
+    from deepsvg_tpu.utils.flops import flops_per_sample, peak_flops_per_chip
+
+    fps = flops_per_sample(cfg)
+    peak = peak_flops_per_chip(jax.devices()[0].device_kind)
+    achieved = samples_per_sec * fps
+    out = {
         "metric": "flagship_encode_decode_throughput",
         "value": round(samples_per_sec, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(samples_per_sec / 10_000, 3),
-    }))
+        "model_gflops_per_sample": round(fps / 1e9, 3),
+        "achieved_tflops": round(achieved / 1e12, 2),
+    }
+    if peak:
+        out["mfu"] = round(achieved / peak, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -93,6 +93,8 @@ class SVGDatasetBase:
 
     def get_label(self, idx=0, entry=None):
         if entry is None:
+            if len(self.df) == 0:  # packer-only instantiation (no metadata)
+                return None
             entry = self.df.iloc[idx]
         if "uni" in self.df.columns:
             return np.int32(uni_to_label(int(entry.uni)))
@@ -231,7 +233,7 @@ class SVGDataset(SVGDatasetBase):
     simplify = SVGTensorDataset.simplify
 
     def get(self, idx=0, model_args=None, random_aug=True, id=None, svg: Optional[SVG] = None):
-        if id is None:
+        if id is None and svg is None:
             idx = idx % len(self.df)
             id = self.idx_to_id(idx)
         if svg is None:

@@ -25,12 +25,82 @@ def collate(items: list[dict]) -> dict:
     return out
 
 
+# Wire format: every model input is small-integer-valued (commands 0..6,
+# quantized args -1..255, labels), so the host->device transfer — the
+# dominant per-step host cost through a remote TPU relay, and real DCN/PCIe
+# bandwidth on any pod — ships narrow integers. ``decompress_batch`` (jnp,
+# called INSIDE the jitted step, ops fused by XLA) restores the canonical
+# dtypes. int16 covers the 257-value arg alphabet exactly; commands fit int8.
+_WIRE_DTYPES = {
+    "commands": np.int8,
+    "commands_grouped": np.int8,
+    "args": np.int16,
+    "args_grouped": np.int16,
+    "args_rel": np.int16,
+    "args_rel_grouped": np.int16,
+    "filling": np.int8,
+}
+
+
+def compress_batch(batch: dict) -> dict:
+    """Cast batch entries to the narrow wire dtypes (exact: all values are
+    whole numbers in range). Keys not in the table pass through."""
+    out = {}
+    for k, v in batch.items():
+        w = _WIRE_DTYPES.get(k)
+        out[k] = v.astype(w) if (w is not None and v.dtype != w) else v
+    return out
+
+
+def decompress_batch(batch: dict) -> dict:
+    """Restore canonical dtypes on device (int32 commands/labels, float32
+    args). No-op for entries already canonical, so it is safe to apply
+    unconditionally inside the train/eval step."""
+    import jax.numpy as jnp
+
+    out = {}
+    for k, v in batch.items():
+        if k.startswith("args") and jnp.issubdtype(v.dtype, jnp.integer):
+            out[k] = v.astype(jnp.float32)
+        elif k.startswith("commands") and v.dtype != jnp.int32:
+            out[k] = v.astype(jnp.int32)
+        else:
+            out[k] = v
+    return out
+
+
+_PROC_DATASET = None
+
+
+def _proc_init(pickled_dataset):
+    """Pool initializer: unpickle the dataset once per worker process."""
+    global _PROC_DATASET
+    import pickle
+
+    _PROC_DATASET = pickle.loads(pickled_dataset)
+
+
+def _proc_collate(indices):
+    return collate([_PROC_DATASET[int(i)] for i in indices])
+
+
 class DataLoader:
-    """Minimal epoch iterator: shuffle, batch, drop_last, threaded prefetch."""
+    """Minimal epoch iterator: shuffle, batch, drop_last, worker prefetch.
+
+    ``worker_mode``:
+      - ``"thread"`` (default): GIL-shared workers — right for pre-tensorized
+        datasets whose packing is numpy (releases the GIL).
+      - ``"process"``: a spawn-context process pool — right for the raw-SVG
+        path, whose per-item parse + Schneider fitting is pure-Python CPU
+        work that threads serialize on (the reference likewise uses
+        DataLoader worker PROCESSES, deepsvg/train.py:27). The dataset is
+        pickled to each worker once at pool start.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 4,
-                 prefetch: int = 4, seed: int = 0):
+                 prefetch: int = 4, seed: int = 0,
+                 worker_mode: str = "thread"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -38,7 +108,32 @@ class DataLoader:
         self.num_workers = max(num_workers, 1)
         self.prefetch = prefetch
         self.seed = seed
+        self.worker_mode = worker_mode
         self._epoch = 0
+        self._pool = None
+
+    def _get_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+            import pickle
+
+            ctx = mp.get_context("spawn")
+            self._pool = ctx.Pool(
+                self.num_workers, initializer=_proc_init,
+                initargs=(pickle.dumps(self.dataset),),
+            )
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def __del__(self):  # pragma: no cover - interpreter teardown best effort
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self):
         n = len(self.dataset)
@@ -65,6 +160,13 @@ class DataLoader:
         if self.num_workers <= 1:
             for b in batches:
                 yield collate([self.dataset[int(i)] for i in b])
+            return
+
+        if self.worker_mode == "process":
+            pool = self._get_pool()
+            # imap keeps order and streams results; chunksize 1 so each batch
+            # is one task (a batch is already a coarse unit of work)
+            yield from pool.imap(_proc_collate, batches, chunksize=1)
             return
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -136,7 +238,7 @@ def prefetch_to_device(iterator, size: int = 2, mesh=None, keys=None):
             return False
         if keys is not None:
             batch = {k: v for k, v in batch.items() if k in keys}
-        buf.append(device_put_sharded(batch, mesh))
+        buf.append(device_put_sharded(compress_batch(batch), mesh))
         return True
 
     for _ in range(size):

@@ -69,8 +69,21 @@ class InferenceSession:
         return self._encode(self.variables, *args)
 
     def encode_svg(self, svg: SVG) -> jnp.ndarray:
-        """SVG document -> latent (gui/interpolate.py:37-42)."""
-        assert self.dataset is not None, "encode_svg needs a dataset for packing"
+        """SVG document -> latent (gui/interpolate.py:37-42).
+
+        Without an attached dataset a bare packer is built from the model
+        config (the dataset is only needed here for its tensor packing, not
+        its files — lets editor/GUI sessions run standalone)."""
+        if self.dataset is None:
+            import pandas as pd
+
+            from .data.dataset import SVGDataset
+
+            mcfg = self.model.cfg
+            self.dataset = SVGDataset(
+                ".", None, self.model_args, mcfg.max_num_groups,
+                mcfg.max_seq_len, df=pd.DataFrame(),
+            )
         data = self.dataset.get(model_args=self.model_args, svg=svg)
         return self.encode(data)
 

@@ -25,6 +25,9 @@ class TrainConfig:
         self.data_dir = "./dataset/icons_tensor/"
         self.meta_filepath = "./dataset/icons_meta.csv"
         self.loader_num_workers = 4 * num_devices
+        # "thread" for pre-tensorized data (numpy packing releases the GIL);
+        # "process" for the raw-SVG path (Python-heavy per-item simplify)
+        self.loader_worker_mode = "thread"
 
         self.pretrained_path: Optional[str] = None
 

@@ -66,6 +66,7 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
     loader = DataLoader(
         dataset, batch_size=cfg.batch_size, shuffle=True, drop_last=True,
         num_workers=cfg.loader_num_workers,
+        worker_mode=getattr(cfg, "loader_worker_mode", "thread"),
     )
     steps_per_epoch = max(len(loader), 1)
 

@@ -80,11 +80,15 @@ def train_step(
     globally (see ``svg_loss``), per-shard RNG streams are decorrelated, and
     the (globally-normalized) gradients ``psum`` over the axis — every shard
     then applies the identical optimizer update to its replicated state."""
+    from ..data.loader import decompress_batch
+
     rng, drop_rng, vae_rng = jax.random.split(state.rng, 3)
     if axis_name is not None:
         shard = jax.lax.axis_index(axis_name)
         drop_rng = jax.random.fold_in(drop_rng, shard)
         vae_rng = jax.random.fold_in(vae_rng, shard)
+    # narrow-integer wire format -> canonical dtypes, on device, fused by XLA
+    batch = decompress_batch(batch)
     args = [batch[k] for k in model_args]
 
     def loss_fn(params):
@@ -123,6 +127,9 @@ def eval_step(
 ) -> dict:
     """Forward + loss without update (deterministic, VAE still samples with a
     fixed key for reproducibility)."""
+    from ..data.loader import decompress_batch
+
+    batch = decompress_batch(batch)
     args = [batch[k] for k in model_args]
     rngs = {"vae": jax.random.key(0)} if model.cfg.use_vae else None
     out = model.apply({"params": state.params}, *args, deterministic=True,

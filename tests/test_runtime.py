@@ -356,3 +356,83 @@ class Config(TrainConfig):
 
         ckpt_dir = tmp_path / "logs" / "models" / "cfgs" / "tiny"
         assert latest_ckpt(str(ckpt_dir)) is not None
+
+
+class TestWireFormat:
+    """Narrow-integer wire format for host->device transfer (loader.py
+    compress_batch/decompress_batch): exact round trip, applied by prefetch,
+    inverted inside the jitted step."""
+
+    def test_compress_roundtrip_exact(self):
+        import jax.numpy as jnp
+
+        from deepsvg_tpu.data.loader import compress_batch, decompress_batch
+
+        ds = tiny_dataset()
+        batch = collate([ds[i] for i in range(8)])
+        wire = compress_batch(batch)
+        assert wire["commands"].dtype == np.int8
+        assert wire["args"].dtype == np.int16
+        assert wire["commands"].nbytes * 4 == batch["commands"].astype(np.int32).nbytes
+        back = decompress_batch({k: jnp.asarray(v) for k, v in wire.items()})
+        assert back["args"].dtype == jnp.float32
+        assert back["commands"].dtype == jnp.int32
+        for k in ("commands", "args"):
+            np.testing.assert_array_equal(np.asarray(back[k]), batch[k])
+
+    def test_decompress_is_noop_on_canonical(self):
+        import jax.numpy as jnp
+
+        from deepsvg_tpu.data.loader import decompress_batch
+
+        batch = {"commands": jnp.zeros((2, 3), jnp.int32),
+                 "args": jnp.zeros((2, 3, 11), jnp.float32)}
+        out = decompress_batch(batch)
+        assert out["commands"].dtype == jnp.int32
+        assert out["args"].dtype == jnp.float32
+
+    def test_train_step_accepts_wire_batches(self):
+        """A step fed int8/int16 wire batches produces the identical loss to
+        one fed canonical float batches."""
+        import jax.numpy as jnp
+
+        from deepsvg_tpu.data.loader import compress_batch
+        from deepsvg_tpu.models import ModelConfig, SVGTransformer
+        from deepsvg_tpu.training.trainer import (
+            create_train_state, jit_train_step, make_optimizer)
+
+        cfg = ModelConfig(encode_stages=2, decode_stages=2, use_vae=False,
+                          max_num_groups=3, max_seq_len=6, d_model=32,
+                          dim_feedforward=64, dim_z=16, n_layers=1,
+                          n_layers_decode=1, n_heads=4, dropout=0.0)
+        model = SVGTransformer(cfg)
+        model_args = cfg.get_model_args()
+        ds = tiny_dataset()
+        batch = collate([ds[i] for i in range(8)])
+        jb = {k: jnp.asarray(batch[k]) for k in set(model_args)}
+        wb = {k: jnp.asarray(v) for k, v in compress_batch(
+            {k: batch[k] for k in set(model_args)}).items()}
+        weights = {"kl_tolerance": 0.1, "loss_kl_weight": 1.0,
+                   "loss_visibility_weight": 1.0, "loss_cmd_weight": 1.0,
+                   "loss_args_weight": 2.0}
+        optimizer = make_optimizer(lambda s: 1e-3)
+        state = create_train_state(model, optimizer, jb, model_args)
+        step = jit_train_step(model, optimizer, model_args, donate=False)
+        _, res_f = step(state, jb, weights)
+        _, res_w = step(state, wb, weights)
+        np.testing.assert_allclose(float(res_f["loss"]), float(res_w["loss"]),
+                                   rtol=1e-6)
+
+    def test_process_worker_mode_matches_thread_mode(self):
+        ds = tiny_dataset()
+        kw = dict(batch_size=8, shuffle=True, seed=3)
+        thread = list(DataLoader(ds, num_workers=2, **kw))
+        proc_loader = DataLoader(ds, num_workers=2, worker_mode="process", **kw)
+        try:
+            proc = list(proc_loader)
+        finally:
+            proc_loader.close()
+        assert len(proc) == len(thread)
+        for a, b in zip(thread, proc):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
