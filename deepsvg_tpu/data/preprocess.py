@@ -43,7 +43,7 @@ def preprocess_svg(svg_file: str, output_folder: str) -> dict:
     }
 
 
-def main(args):
+def run(args):
     import pandas as pd
 
     svg_files = glob.glob(os.path.join(args.data_folder, "*.svg"))
@@ -67,14 +67,19 @@ def main(args):
     logging.info("SVG preprocessing complete: %d files.", len(meta_rows))
 
 
-if __name__ == "__main__":
+def main(argv=None):
+    """CLI entry (also the ``deepsvg-tpu-preprocess`` console script)."""
     logging.basicConfig(level=logging.INFO)
     parser = ArgumentParser()
     parser.add_argument("--data_folder", default=os.path.join("dataset", "svgs"))
     parser.add_argument("--output_folder", default=os.path.join("dataset", "svgs_simplified"))
     parser.add_argument("--output_meta_file", default=os.path.join("dataset", "svg_meta.csv"))
     parser.add_argument("--workers", default=4, type=int)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     os.makedirs(args.output_folder, exist_ok=True)
-    main(args)
+    run(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -83,6 +83,10 @@ def one_shot_sample(
     flatten with :func:`flatten_groups_np` for the ragged reference layout.
     """
     cfg = model.cfg
+    if cfg.use_vae and (rngs is None or "vae" not in rngs):
+        # deterministic-eval convention (matches trainer.eval_step): the VAE
+        # still samples, with a fixed key
+        rngs = {**(rngs or {}), "vae": jax.random.key(0)}
     # greedy (T -> 0) with the Pallas backend: fused head+argmax kernel — the
     # full argument-logits tensor is never materialized
     use_argmax_head = key is None and cfg.attention_impl == "pallas"
@@ -383,6 +387,8 @@ def greedy_sample(
 ):
     """Dispatch to one-shot or autoregressive sampling (model/model.py:414-448)."""
     cfg = model.cfg
+    if cfg.use_vae and (rngs is None or "vae" not in rngs):
+        rngs = {**(rngs or {}), "vae": jax.random.key(0)}
     if cfg.pred_mode == "one_shot":
         return one_shot_sample(
             model, variables, z=z, commands_enc=commands_enc, args_enc=args_enc,

@@ -89,6 +89,7 @@ class TrainConfig:
         return make_optimizer(
             self.make_lr_schedule(steps_per_epoch),
             grad_clip=self.grad_clip if self.grad_clip is not None else 1e9,
+            start_step=getattr(self, "optimizer_start", 0),
         )
 
     def get_params(self, step, epoch) -> dict:

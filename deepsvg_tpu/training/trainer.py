@@ -32,13 +32,47 @@ def make_optimizer(
     lr_schedule: Callable,
     grad_clip: float = 1.0,
     weight_decay: float = 0.01,
+    start_step: int = 0,
 ) -> optax.GradientTransformation:
     """AdamW + global-norm clipping (reference config.py:73-76 make_optimizers
-    + train.py:99-100 clip_grad_norm)."""
-    return optax.chain(
+    + train.py:99-100 clip_grad_norm). ``start_step`` reproduces the
+    reference's ``optimizer_starts`` gating (train.py:97-106: before the
+    start step no backward/update runs and no optimizer state accumulates)."""
+    opt = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(lr_schedule, weight_decay=weight_decay),
     )
+    if start_step > 0:
+        opt = delayed_start(opt, start_step)
+    return opt
+
+
+def delayed_start(
+    opt: optax.GradientTransformation, start_step: int
+) -> optax.GradientTransformation:
+    """Gate an optimizer to begin at ``start_step``: until then updates are
+    zero AND the inner state (Adam moments, schedule counts) stays frozen —
+    exactly the reference's ``if step >= optimizer_start`` skip
+    (train.py:97-106). The reference's multi-optimizer LIST hook
+    (``cfg.optimizer_starts``, config.py:55) is expressed in optax as
+    ``optax.multi_transform`` over parameter partitions with each member
+    wrapped in ``delayed_start`` — no shipped reference config uses more than
+    one optimizer, so only the gating primitive is provided here."""
+
+    def init(params):
+        return (opt.init(params), jnp.zeros((), jnp.int32))
+
+    def update(grads, state, params=None):
+        inner, count = state
+        updates, new_inner = opt.update(grads, inner, params)
+        on = (count >= start_step).astype(jnp.float32)
+        updates = jax.tree.map(lambda u: u * on.astype(u.dtype), updates)
+        new_inner = jax.tree.map(
+            lambda a, b: jnp.where(count >= start_step, a, b), new_inner, inner
+        )
+        return updates, (new_inner, count + 1)
+
+    return optax.GradientTransformation(init, update)
 
 
 def create_train_state(

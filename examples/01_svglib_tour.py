@@ -4,6 +4,12 @@ Parse an SVG, canonicalize/simplify it, apply transforms, rasterize, and
 export an animation, using only deepsvg_tpu.
 """
 import os
+import sys
+
+try:
+    import deepsvg_tpu  # noqa: F401  (installed via `pip install -e .`)
+except ImportError:  # running from a source checkout without installing
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from deepsvg_tpu.svglib import SVG, Angle, Point
 from deepsvg_tpu.svglib.utils import make_grid

@@ -5,6 +5,12 @@ using the differentiable EMD loss — the classic DeepSVG demo, here as a
 single jitted update loop.
 """
 import os
+import sys
+
+try:
+    import deepsvg_tpu  # noqa: F401  (installed via `pip install -e .`)
+except ImportError:  # running from a source checkout without installing
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

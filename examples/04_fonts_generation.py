@@ -4,6 +4,12 @@ Trains a tiny label-conditioned model on synthetic "glyphs" (each class has a
 distinct shape family), then samples each class and builds a font grid.
 """
 import os
+import sys
+
+try:
+    import deepsvg_tpu  # noqa: F401  (installed via `pip install -e .`)
+except ImportError:  # running from a source checkout without installing
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

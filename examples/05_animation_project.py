@@ -2,6 +2,12 @@
 interpolation flow: keyframes -> (finetune) -> latent in-betweens -> GIF.
 """
 import os
+import sys
+
+try:
+    import deepsvg_tpu  # noqa: F401  (installed via `pip install -e .`)
+except ImportError:  # running from a source checkout without installing
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np

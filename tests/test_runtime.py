@@ -222,7 +222,7 @@ class TestRawSVGPipeline:
 
         import pandas as pd
 
-        from deepsvg_tpu.data.preprocess import main as preprocess_main
+        from deepsvg_tpu.data.preprocess import run as preprocess_main
 
         src = tmp_path / "svgs"
         out = tmp_path / "simplified"
@@ -247,7 +247,7 @@ class TestRawSVGPipeline:
         import shutil
 
         from deepsvg_tpu.data.dataset import SVGDataset
-        from deepsvg_tpu.data.preprocess import main as preprocess_main
+        from deepsvg_tpu.data.preprocess import run as preprocess_main
 
         src = tmp_path / "svgs"; out = tmp_path / "simplified"
         src.mkdir(); out.mkdir()
@@ -436,3 +436,45 @@ class TestWireFormat:
         for a, b in zip(thread, proc):
             for k in a:
                 np.testing.assert_array_equal(a[k], b[k])
+
+
+class TestVisualizeHook:
+    def test_reconstruction_grid_written_to_tensorboard(self, tmp_path):
+        """The real config path's visualize hook (configs_tpu/default_icons.py
+        -> greedy_sample -> make_grid -> TB images) runs during train() at
+        val_every cadence and writes image summaries (reference
+        default_icons.py:79-97 + train.py:124-132)."""
+        import dataclasses
+        import glob as _glob
+
+        from configs_tpu.default_icons import Config
+        from deepsvg_tpu.training.train import train
+
+        cfg = Config(1)
+        cfg.model_cfg = dataclasses.replace(
+            cfg.model_cfg, d_model=32, dim_feedforward=64, dim_z=16,
+            n_layers=1, n_layers_decode=1, n_heads=4, max_num_groups=3,
+            max_seq_len=6, dropout=0.0, compute_dtype="float32",
+            attention_impl="xla",
+        )
+        cfg.model_args = cfg.model_cfg.get_model_args()
+        cfg.batch_size = 8
+        cfg.num_epochs = 1
+        cfg.val_every = 2
+        cfg.log_every = 100
+        cfg.ckpt_every = 100
+        cfg.loader_num_workers = 1
+
+        ds = SyntheticIconDataset(n=16, max_num_groups=3, max_seq_len=6)
+        log_dir = str(tmp_path / "logs")
+        train(cfg, "viz", "test", log_dir=log_dir, debug=True, dataset=ds,
+              max_steps=2)
+
+        events = _glob.glob(
+            os.path.join(log_dir, "tensorboard", "**", "events.*"),
+            recursive=True)
+        assert events, "no tensorboard event files written"
+        # scan the raw event files for the reconstruction image tag bytes
+        blob = b"".join(open(f, "rb").read() for f in events)
+        assert b"reconstructions_train" in blob, \
+            "visualize hook wrote no reconstruction image summaries"

@@ -185,3 +185,35 @@ class TestMultiHostInput:
 
         mesh = make_mesh(8, model_axis="model", n_model=2)
         assert mesh.shape == {"data": 4, "model": 2}
+
+
+class TestDelayedStart:
+    def test_optimizer_start_gating(self):
+        """delayed_start reproduces the reference optimizer_starts semantics
+        (train.py:97-106): zero updates AND frozen optimizer state before the
+        start step, normal stepping after."""
+        import optax
+
+        from deepsvg_tpu.training.trainer import delayed_start
+
+        base = optax.adam(1e-2)
+        opt = delayed_start(base, start_step=3)
+        params = {"w": jnp.ones((4,))}
+        state = opt.init(params)
+        grads = {"w": jnp.full((4,), 0.5)}
+
+        for step in range(3):
+            updates, state = opt.update(grads, state, params)
+            assert float(jnp.abs(updates["w"]).max()) == 0.0, step
+        # inner adam moments must still be zero (frozen, not accumulated)
+        inner, count = state
+        assert int(count) == 3
+        mu = jax.tree.leaves(inner)
+        assert all(float(jnp.abs(m).max()) == 0.0 for m in mu if hasattr(m, "max"))
+
+        updates, state = opt.update(grads, state, params)
+        assert float(jnp.abs(updates["w"]).max()) > 0.0
+        # first live step == a fresh optimizer's first step
+        fresh_updates, _ = base.update(grads, base.init(params), params)
+        np.testing.assert_allclose(np.asarray(updates["w"]),
+                                   np.asarray(fresh_updates["w"]), rtol=1e-6)
