@@ -27,6 +27,13 @@ import jax
 import jax.numpy as jnp
 
 
+def _tile_target() -> int:
+    """Dense row-tile target for the fused inference layers: 1024 on real
+    TPUs (with auto 256-row attention sub-blocks, see ops/layer.py), 256 in
+    CPU interpret mode where big tiles only cost test time."""
+    return 256 if jax.default_backend() == "cpu" else 1024
+
+
 def kaiming_embed_init(fan_in: int):
     """torch ``kaiming_normal_(mode='fan_in')`` on a [num, fan_in] table:
     std = sqrt(2 / fan_in)."""
@@ -228,7 +235,11 @@ class EncoderLayerImproved(_TransformerLayerBase):
                 src, p["norm1"], p["wqkv"], p["bqkv"], p["wo"], p["bo"],
                 p["norm2"], p["ff1_kernel"], p["ff1_bias"], p["ff2_kernel"],
                 p["ff2_bias"], mask, n_heads=self.n_heads,
-                tile_b=pick_tile_b(b, s), seq_bias=seq_bias,
+                # 1024-row dense tiles + auto 256-row attention sub-blocks
+                # (6% faster than coupled 256-row tiles, tile sweep); CPU
+                # interpret mode keeps small tiles (compile/run time)
+                tile_b=pick_tile_b(b, s, target_rows=_tile_target()),
+                seq_bias=seq_bias,
             )
 
         if self.attn_impl == "pallas":  # fused train path (not deterministic)
@@ -302,7 +313,8 @@ class DecoderLayerGlobalImproved(_TransformerLayerBase):
                 tgt, z2, p["norm1"], p["wqkv"], p["bqkv"], p["wo"], p["bo"],
                 wg, bg, p["norm2"], p["ff1_kernel"], p["ff1_bias"],
                 p["ff2_kernel"], p["ff2_bias"], mask, n_heads=self.n_heads,
-                tile_b=pick_tile_b(b, s), causal=causal, extra_bias=extra_bias,
+                tile_b=pick_tile_b(b, s, target_rows=_tile_target()),
+                causal=causal, extra_bias=extra_bias,
             )
 
         if self.attn_impl == "pallas":  # fused train path (not deterministic)

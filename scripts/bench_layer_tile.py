@@ -36,37 +36,42 @@ def main():
     mask = jnp.zeros((B, S), jnp.float32)
     seq_bias = init(B, D)
 
-    @functools.partial(jax.jit, static_argnums=(1, 2))
-    def chain(x, tile_b, n):
+    @functools.partial(jax.jit, static_argnums=(1, 2, 3))
+    def chain(x, tile_b, attn_rows, n):
         def body(h, _):
             h = fused_layer(h, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2,
-                            w1, b1, w2, b2, mask, n_heads=H, tile_b=tile_b)
+                            w1, b1, w2, b2, mask, n_heads=H, tile_b=tile_b,
+                            attn_rows=attn_rows)
             return h, None
         h, _ = jax.lax.scan(body, x, None, length=n)
         return jnp.sum(h.astype(jnp.float32))
 
-    def timed(tile_b, n=20, reps=3):
-        np.asarray(chain(x, tile_b, 1))
+    def timed(tile_b, attn_rows=None, n=20, reps=3):
+        np.asarray(chain(x, tile_b, attn_rows, 1))
         b1 = bn = float("inf")
         for _ in range(reps):
-            t0 = time.perf_counter(); np.asarray(chain(x, tile_b, 1))
+            t0 = time.perf_counter(); np.asarray(chain(x, tile_b, attn_rows, 1))
             b1 = min(b1, time.perf_counter() - t0)
         for _ in range(reps):
-            t0 = time.perf_counter(); np.asarray(chain(x, tile_b, 1 + n))
+            t0 = time.perf_counter(); np.asarray(chain(x, tile_b, attn_rows, 1 + n))
             bn = min(bn, time.perf_counter() - t0)
         return (bn - b1) / n
 
-    for tile_b in (4, 8, 16, 32):
+    # (tile_b, attn_rows): attn_rows=None couples attention to the full tile
+    # (round-1 behavior); smaller attn_rows cut the packed score waste while
+    # keeping big dense-matmul tiles
+    combos = [(4, None), (8, None), (16, None), (32, None),
+              (8, 128), (16, 128), (16, 256), (32, 128), (32, 256), (64, 128)]
+    for tile_b, attn_rows in combos:
         try:
-            t = timed(tile_b)
-            flops = B * S * 2 * (4 * D * D + 2 * D * DFF) + \
-                2 * 2 * B // tile_b * (tile_b * S) ** 2 * D
+            t = timed(tile_b, attn_rows)
             print(f"tile_b={tile_b:<3d} rows={tile_b*S:<5d} "
+                  f"attn_rows={attn_rows or tile_b*S:<5d} "
                   f"{t*1e3:7.3f} ms/layer  "
                   f"({B*S/t/1e6:.0f} Mtok/s)", flush=True)
         except Exception as e:
-            print(f"tile_b={tile_b:<3d} FAILED {type(e).__name__}: {str(e)[:100]}",
-                  flush=True)
+            print(f"tile_b={tile_b:<3d} attn_rows={attn_rows} FAILED "
+                  f"{type(e).__name__}: {str(e)[:100]}", flush=True)
 
 
 if __name__ == "__main__":

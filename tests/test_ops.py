@@ -794,3 +794,35 @@ class TestLabelConditionedFusedTrain:
                 np.asarray(v), np.asarray(flat_p[jax.tree_util.keystr(k)]),
                 atol=3e-4, err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}",
             )
+
+
+class TestSubBlockedAttention:
+    def test_attn_rows_matches_full_tile(self):
+        """Sub-blocked attention (attn_rows < rows) is bit-equivalent to the
+        coupled kernel: the off-diagonal blocks it skips are fully masked."""
+        import numpy as np
+
+        from deepsvg_tpu.ops.layer import fused_layer
+
+        rng = np.random.default_rng(0)
+        B, S, D, H, DFF = 32, 8, 128, 4, 256
+        x = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+
+        def init(*s):
+            return jnp.asarray(rng.normal(size=s) * 0.05, jnp.float32)
+
+        wqkv, bqkv = init(D, 3 * D), init(3 * D)
+        wo, bo = init(D, D), init(D)
+        w1, b1 = init(D, DFF), init(DFF)
+        w2, b2 = init(DFF, D), init(D)
+        ln = jnp.stack([jnp.ones((D,)), jnp.zeros((D,))]).astype(jnp.float32)
+        mask = jnp.where(jnp.arange(S)[None, :] >= 6, -jnp.inf, 0.0)
+        mask = jnp.broadcast_to(mask, (B, S)).astype(jnp.float32)
+
+        args = (x, None, ln, wqkv, bqkv, wo, bo, ln, w1, b1, w2, b2, mask)
+        base = fused_layer(*args, n_heads=H, tile_b=16)
+        for attn_rows in (8, 16, 32, 64):
+            sub = fused_layer(*args, n_heads=H, tile_b=16, attn_rows=attn_rows)
+            np.testing.assert_allclose(np.asarray(sub), np.asarray(base),
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=str(attn_rows))
