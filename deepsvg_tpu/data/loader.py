@@ -205,46 +205,59 @@ class DataLoader:
                 yield results.pop(slot)
 
 
-def device_put_sharded(batch: dict, mesh=None):
-    """Move a host batch onto the device (or sharded over a mesh)."""
+def device_put_sharded(batch: dict, mesh=None, batch_dim: int = 0):
+    """Move a host batch onto the device (or sharded over a mesh).
+    ``batch_dim=1`` for step-stacked ``[K, B, ...]`` batches."""
     import jax
 
     if mesh is None:
         return jax.tree.map(jax.device_put, batch)
     from ..parallel.mesh import shard_batch
 
-    return shard_batch(batch, mesh)
+    return shard_batch(batch, mesh, batch_dim=batch_dim)
 
 
-def prefetch_to_device(iterator, size: int = 2, mesh=None, keys=None):
+def prefetch_to_device(iterator, size: int = 2, mesh=None, keys=None,
+                       stack_steps: int = 1):
     """Stage upcoming host batches onto the device(s) ahead of consumption.
 
-    ``jax.device_put`` dispatches asynchronously, so enqueueing batch ``i+1``
-    (optionally filtered to ``keys``) before batch ``i`` is consumed overlaps
-    its host->device transfer with the device execution of step ``i`` —
-    without this the transfer sits on the critical path every step (the
-    dominant wall-clock term through a remote TPU relay; see
-    docs/PERFORMANCE.md "Training loss curve"). Depth ``size=2`` is the
-    standard double-buffer."""
-    import collections
+    Staging runs on a BACKGROUND thread: through a remote TPU relay,
+    ``jax.device_put`` can block on an RPC round trip (latency, not
+    bandwidth), so staging inline between yields would put that latency back
+    on the critical path every step — exactly what this prefetch exists to
+    hide. The thread keeps a ``size``-deep queue of on-device (optionally
+    ``keys``-filtered, wire-compressed) batches ahead of the training loop."""
+    import queue as _queue
+    import threading
 
-    buf: "collections.deque" = collections.deque()
-    it = iter(iterator)
+    q: "_queue.Queue" = _queue.Queue(maxsize=size)
+    _END = object()
 
-    def stage():
+    def stager():
         try:
-            batch = next(it)
-        except StopIteration:
-            return False
-        if keys is not None:
-            batch = {k: v for k, v in batch.items() if k in keys}
-        buf.append(device_put_sharded(compress_batch(batch), mesh))
-        return True
+            pend = []
+            for batch in iterator:
+                if keys is not None:
+                    batch = {k: v for k, v in batch.items() if k in keys}
+                batch = compress_batch(batch)
+                if stack_steps <= 1:
+                    q.put(device_put_sharded(batch, mesh))
+                    continue
+                # multi-step dispatch: stack K host batches -> one [K, ...]
+                # device array per key (feeds trainer.jit_train_multi_step);
+                # a ragged tail is dropped like drop_last
+                pend.append(batch)
+                if len(pend) == stack_steps:
+                    stacked = {k: np.stack([b[k] for b in pend]) for k in pend[0]}
+                    pend = []
+                    q.put(device_put_sharded(stacked, mesh, batch_dim=1))
+        finally:
+            q.put(_END)
 
-    for _ in range(size):
-        if not stage():
+    t = threading.Thread(target=stager, daemon=True)
+    t.start()
+    while True:
+        out = q.get()
+        if out is _END:
             break
-    while buf:
-        out = buf.popleft()
-        stage()
         yield out

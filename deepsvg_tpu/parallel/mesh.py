@@ -34,19 +34,22 @@ def make_mesh(
     return Mesh(grid, (data_axis, model_axis))
 
 
-def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis; everything else
-    replicated."""
-    return NamedSharding(mesh, P(data_axis))
+def batch_sharding(mesh: Mesh, data_axis: str = "data",
+                   batch_dim: int = 0) -> NamedSharding:
+    """Shard the batch axis (``batch_dim``) over the data axis; everything
+    else replicated. ``batch_dim=1`` serves step-stacked ``[K, B, ...]``
+    batches (multi-step dispatch)."""
+    return NamedSharding(mesh, P(*([None] * batch_dim), data_axis))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh, data_axis: str = "data") -> dict:
+def shard_batch(batch: dict, mesh: Mesh, data_axis: str = "data",
+                batch_dim: int = 0) -> dict:
     """Place a host batch dict onto the mesh, batch-axis sharded."""
-    sharding = batch_sharding(mesh, data_axis)
+    sharding = batch_sharding(mesh, data_axis, batch_dim)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
@@ -92,3 +95,37 @@ def make_parallel_train_step(model, optimizer, model_args, mesh: Mesh,
         check_vma=False,
     )
     return jax.jit(sm, donate_argnums=(0,))
+
+
+def make_parallel_multi_step(model, optimizer, model_args, mesh: Mesh,
+                             weights_fn, data_axis: str = "data"):
+    """K data-parallel train steps per dispatch: ``lax.scan`` over a
+    ``[K, B, ...]`` stacked batch dict, each step a shard_map'd DP step (see
+    :func:`make_parallel_train_step`), loss weights computed in-graph from
+    the step counter (see trainer.jit_train_multi_step). Batches must be
+    sharded with ``batch_dim=1`` (``shard_batch(..., batch_dim=1)``)."""
+    import jax.numpy as jnp
+
+    from functools import partial
+
+    from ..training.trainer import train_step
+
+    fn = partial(train_step, model=model, optimizer=optimizer,
+                 model_args=model_args, axis_name=data_axis)
+
+    def one(state, batch, weights):
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(), P(data_axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(state, batch, weights)
+
+    def multi(state, batches):
+        def body(st, batch):
+            st, res = one(st, batch, weights_fn(st.step))
+            return st, {k: v for k, v in res.items() if jnp.ndim(v) == 0}
+
+        return jax.lax.scan(body, state, batches)
+
+    return jax.jit(multi, donate_argnums=(0,))

@@ -28,6 +28,9 @@ class TrainConfig:
         # "thread" for pre-tensorized data (numpy packing releases the GIL);
         # "process" for the raw-SVG path (Python-heavy per-item simplify)
         self.loader_worker_mode = "thread"
+        # K>1: lax.scan K optimization steps per host dispatch (amortizes
+        # per-step dispatch latency; needs traceable get_weights ramps)
+        self.steps_per_dispatch = 1
 
         self.pretrained_path: Optional[str] = None
 

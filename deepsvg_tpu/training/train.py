@@ -117,8 +117,36 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
     while n_dev > 1 and cfg.batch_size % n_dev != 0:
         n_dev -= 1
     mesh = make_mesh(n_dev) if n_dev > 1 else None
-    if mesh is not None:
+    # multi-step dispatch (cfg.steps_per_dispatch = K > 1): lax.scan K
+    # training steps per jitted call over a [K, B, ...]-stacked batch —
+    # amortizes per-step host dispatch, which through a remote TPU relay is
+    # a full RPC round trip (10-15 ms) dominating the ~29 ms step. Requires
+    # traceable cfg.get_weights (the shipped configs' ramps are jnp) and a
+    # single device (the shard_map path stays at K=1 for now).
+    K = max(int(getattr(cfg, "steps_per_dispatch", 1) or 1), 1)
+    if profile_steps is not None:
+        K = 1
+    if K > 1:
+        for name in ("log_every", "val_every", "ckpt_every"):
+            v = getattr(cfg, name)
+            if v % K != 0:
+                setattr(cfg, name, max(v // K, 1) * K)
+    if mesh is not None and K > 1:
+        from ..parallel.mesh import make_parallel_multi_step
+
+        step_fn = make_parallel_multi_step(
+            model, optimizer, model_args, mesh,
+            weights_fn=lambda step: cfg.get_weights(step, 0),
+        )
+    elif mesh is not None:
         step_fn = make_parallel_train_step(model, optimizer, model_args, mesh)
+    elif K > 1:
+        from .trainer import jit_train_multi_step
+
+        step_fn = jit_train_multi_step(
+            model, optimizer, model_args,
+            weights_fn=lambda step: cfg.get_weights(step, 0),
+        )
     else:
         step_fn = jit_train_step(model, optimizer, model_args)
 
@@ -145,10 +173,10 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
             continue
         print(f"Epoch {epoch + 1}")
         device_batches = prefetch_to_device(
-            loader, size=2, mesh=mesh, keys=set(model_args)
+            loader, size=2, mesh=mesh, keys=set(model_args), stack_steps=K,
         )
         for n_iter, batch_model in enumerate(device_batches):
-            step = step_host + 1
+            step = step_host + K
 
             if profile_steps is not None:
                 if step == profile_steps[0]:
@@ -162,7 +190,12 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
                     print(f"profiler trace written to {profile_dir}")
 
             weights = cfg.get_weights(step, epoch)
-            state, res = step_fn(state, batch_model, weights)
+            if K > 1:
+                state, res = step_fn(state, batch_model)
+                # res values are [K]-stacked; expose the window's last step
+                res = {k: v[-1] for k, v in res.items()}
+            else:
+                state, res = step_fn(state, batch_model, weights)
             step_host = step
 
             if cfg.num_steps is not None and step > cfg.num_steps:

@@ -32,9 +32,11 @@ def main():
     cfg.val_every = 10_000
     cfg.ckpt_every = 10_000
     cfg.loader_num_workers = 8
+    import os
+    cfg.steps_per_dispatch = int(os.environ.get("BENCH_K", "8"))
 
     ds = SyntheticIconDataset(
-        n=1024, max_num_groups=cfg.model_cfg.max_num_groups,
+        n=8192, max_num_groups=cfg.model_cfg.max_num_groups,
         max_seq_len=cfg.model_cfg.max_seq_len,
     )
     # warm the in-memory dataset cache so generation cost isn't measured

@@ -131,7 +131,11 @@ class TestForwardParity:
         some shapes, extends the mask by 3 on others, and cascades chunk-wise
         on others. This framework defines the semantic cleanly as
         extend-by-3 (svgtensor/masks.py), so the command CE can differ on a
-        few tail positions of near-max-length sequences."""
+        few tail positions of near-max-length sequences.
+
+        Full archaeology + the exact-parity version of this test (reference
+        mask pinned to extend-by-3, all components at 5e-5):
+        tests/test_torch_parity_grad.py."""
         tm, jm, params, cmds, args = models_and_batch
         weights = {
             "kl_tolerance": 0.1, "loss_kl_weight": 1.0,

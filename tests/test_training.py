@@ -217,3 +217,102 @@ class TestDelayedStart:
         fresh_updates, _ = base.update(grads, base.init(params), params)
         np.testing.assert_allclose(np.asarray(updates["w"]),
                                    np.asarray(fresh_updates["w"]), rtol=1e-6)
+
+
+class TestMultiStepDispatch:
+    def test_k_steps_equal_k_single_steps(self, rng):
+        """jit_train_multi_step over a [K, B, ...] stacked batch produces the
+        same final state and per-step losses as K sequential single steps
+        with the same per-step weights."""
+        from deepsvg_tpu.training.trainer import jit_train_multi_step
+        from deepsvg_tpu.training.schedulers import linear_ramp
+
+        cfg = tiny_cfg()
+        model = SVGTransformer(cfg)
+        model_args = cfg.get_model_args()
+        K = 4
+        batches = [
+            device_batch(
+                generate_batch(np.random.default_rng(100 + i), 8,
+                               cfg.max_num_groups, cfg.max_seq_len),
+                model_args,
+            )
+            for i in range(K)
+        ]
+        optimizer = make_optimizer(warmup_step_decay(1e-3, 5, 1000))
+
+        ramp = linear_ramp(0, 10, 0.5, 2.0)
+
+        def weights_fn(step):
+            return dict(WEIGHTS, loss_args_weight=ramp(step))
+
+        # K single steps
+        s1 = create_train_state(model, optimizer, batches[0], model_args)
+        step1 = jit_train_step(model, optimizer, model_args, donate=False)
+        singles = []
+        for i in range(K):
+            s1, res = step1(s1, batches[i], weights_fn(s1.step))
+            singles.append(float(res["loss"]))
+
+        # one K-step dispatch
+        s2 = create_train_state(model, optimizer, batches[0], model_args)
+        multi = jit_train_multi_step(model, optimizer, model_args, weights_fn,
+                                     donate=False)
+        stacked = {
+            k: jnp.stack([b[k] for b in batches]) for k in batches[0]
+        }
+        s2, res = multi(s2, stacked)
+        np.testing.assert_allclose(np.asarray(res["loss"]),
+                                   np.asarray(singles), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        assert int(s2.step) == K
+
+
+class TestParallelMultiStep:
+    def test_mesh_k_steps_equal_k_single(self, rng):
+        """make_parallel_multi_step over the virtual 8-device mesh == K
+        sequential shard_map'd steps."""
+        from deepsvg_tpu.parallel.mesh import (
+            make_parallel_multi_step, shard_batch)
+
+        cfg = tiny_cfg()
+        model = SVGTransformer(cfg)
+        model_args = cfg.get_model_args()
+        K = 3
+        batches = [
+            device_batch(
+                generate_batch(np.random.default_rng(300 + i), 16,
+                               cfg.max_num_groups, cfg.max_seq_len),
+                model_args,
+            )
+            for i in range(K)
+        ]
+        optimizer = make_optimizer(warmup_step_decay(1e-3, 5, 1000))
+        mesh = make_mesh(8)
+
+        def weights_fn(step):
+            return dict(WEIGHTS)
+
+        # K single parallel steps
+        s1 = create_train_state(model, optimizer, batches[0], model_args)
+        pstep = make_parallel_train_step(model, optimizer, model_args, mesh)
+        singles = []
+        for i in range(K):
+            s1, res = pstep(s1, shard_batch(batches[i], mesh), WEIGHTS)
+            singles.append(float(res["loss"]))
+
+        # one K-step parallel dispatch
+        s2 = create_train_state(model, optimizer, batches[0], model_args)
+        multi = make_parallel_multi_step(model, optimizer, model_args, mesh,
+                                         weights_fn)
+        stacked = shard_batch(
+            {k: np.stack([np.asarray(b[k]) for b in batches])
+             for k in batches[0]},
+            mesh, batch_dim=1,
+        )
+        s2, res = multi(s2, stacked)
+        np.testing.assert_allclose(np.asarray(res["loss"]),
+                                   np.asarray(singles), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
