@@ -41,12 +41,25 @@ _WIRE_DTYPES = {
     "filling": np.int8,
 }
 
+# Absolute args are {-1} ∪ [0, 255]: 257 values, one too many for uint8 — but
+# the -1s carry no information. They sit exactly where CMD_ARGS_MASK[cmd] is 0
+# (unused arg slots per command + EOS/SOS/pad rows, whose masks are all-zero),
+# so when the matching commands tensor rides in the same batch the -1s can be
+# reconstructed ON DEVICE and the wire ships pure uint8 — the dominant payload
+# halves again. (Relative args span [0, 510] after the +255 shift; they keep
+# int16.)
+_MASKED_ARGS_WIRE = {"args": "commands", "args_grouped": "commands_grouped"}
+
 
 def compress_batch(batch: dict) -> dict:
     """Cast batch entries to the narrow wire dtypes (exact: all values are
     whole numbers in range). Keys not in the table pass through."""
     out = {}
     for k, v in batch.items():
+        ck = _MASKED_ARGS_WIRE.get(k)
+        if ck is not None and ck in batch:
+            out[k] = np.maximum(v, 0).astype(np.uint8)
+            continue
         w = _WIRE_DTYPES.get(k)
         out[k] = v.astype(w) if (w is not None and v.dtype != w) else v
     return out
@@ -54,18 +67,27 @@ def compress_batch(batch: dict) -> dict:
 
 def decompress_batch(batch: dict) -> dict:
     """Restore canonical dtypes on device (int32 commands/labels, float32
-    args). No-op for entries already canonical, so it is safe to apply
+    args; uint8 masked-args wire gets its -1s rebuilt from CMD_ARGS_MASK).
+    No-op for entries already canonical, so it is safe to apply
     unconditionally inside the train/eval step."""
     import jax.numpy as jnp
 
+    from ..svgtensor.constants import CMD_ARGS_MASK_NP
+
     out = {}
     for k, v in batch.items():
-        if k.startswith("args") and jnp.issubdtype(v.dtype, jnp.integer):
-            out[k] = v.astype(jnp.float32)
-        elif k.startswith("commands") and v.dtype != jnp.int32:
+        if k.startswith("commands") and v.dtype != jnp.int32:
             out[k] = v.astype(jnp.int32)
         else:
             out[k] = v
+    for k, v in batch.items():
+        if not k.startswith("args") or not jnp.issubdtype(v.dtype, jnp.integer):
+            continue
+        if v.dtype == jnp.uint8:
+            mask = jnp.asarray(CMD_ARGS_MASK_NP, jnp.bool_)[out[_MASKED_ARGS_WIRE[k]]]
+            out[k] = jnp.where(mask, v.astype(jnp.float32), -1.0)
+        else:
+            out[k] = v.astype(jnp.float32)
     return out
 
 
@@ -157,6 +179,15 @@ class DataLoader:
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1
         batches = self._index_batches()
+        # columnar fast path: a dataset that can serve a whole batch as one
+        # fancy-index per key (e.g. SyntheticIconDataset) skips the per-item
+        # Python collate entirely — C-level slicing is ~20x cheaper and, on a
+        # single-stream relay host, keeps the GIL off the dispatch thread
+        fast = getattr(self.dataset, "get_batch_arrays", None)
+        if fast is not None:
+            for b in batches:
+                yield fast(b)
+            return
         if self.num_workers <= 1:
             for b in batches:
                 yield collate([self.dataset[int(i)] for i in b])
@@ -218,7 +249,7 @@ def device_put_sharded(batch: dict, mesh=None, batch_dim: int = 0):
 
 
 def prefetch_to_device(iterator, size: int = 2, mesh=None, keys=None,
-                       stack_steps: int = 1):
+                       stack_steps: int = 0):
     """Stage upcoming host batches onto the device(s) ahead of consumption.
 
     Staging runs on a BACKGROUND thread: through a remote TPU relay,
@@ -240,7 +271,7 @@ def prefetch_to_device(iterator, size: int = 2, mesh=None, keys=None,
                 if keys is not None:
                     batch = {k: v for k, v in batch.items() if k in keys}
                 batch = compress_batch(batch)
-                if stack_steps <= 1:
+                if stack_steps < 1:  # 0: plain per-step batches
                     q.put(device_put_sharded(batch, mesh))
                     continue
                 # multi-step dispatch: stack K host batches -> one [K, ...]

@@ -23,7 +23,10 @@ def _random_path(rng: np.random.Generator, n_cmds: int, use_curves: bool = True)
     pts += rng.normal(0, 4, pts.shape)
     pts = np.clip(np.round(pts), 0, ARGS_DIM - 1)
 
-    rows = np.zeros((n_cmds, 14), np.float32)
+    # canonical 14-col contract (reference difflib/tensor.py): every unused
+    # slot is PAD_VAL=-1, so arg validity follows CMD_ARGS_MASK exactly —
+    # the loader's uint8 masked-args wire format depends on this
+    rows = np.full((n_cmds, 14), -1.0, np.float32)
     rows[0, Index.COMMAND] = CMD_M
     rows[0, Index.END_POS] = pts[0]
     for i in range(1, n_cmds):
@@ -103,6 +106,7 @@ class SyntheticIconDataset:
         self.max_total_len = max_total_len or max_num_groups * max_seq_len
         self.label_range = label_range
         self._cache: dict[int, tuple[dict, list]] = {}
+        self._cols: dict | None = None
 
     def __len__(self):
         return self.n
@@ -137,6 +141,21 @@ class SyntheticIconDataset:
     def get_batch(self, indices) -> dict:
         samples = [self[i] for i in indices]
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+    def _columnar(self) -> dict:
+        """All items stacked once into big per-key arrays (the dataset is
+        deterministic per index, so this is just a materialized cache)."""
+        if not hasattr(self, "_cols") or self._cols is None:
+            items = [self[i] for i in range(self.n)]
+            self._cols = {k: np.stack([it[k] for it in items])
+                          for k in items[0]}
+        return self._cols
+
+    def get_batch_arrays(self, indices) -> dict:
+        """Loader fast path: one C-level fancy-index per key per batch."""
+        cols = self._columnar()
+        idx = np.asarray(indices, np.int64)
+        return {k: v[idx] for k, v in cols.items()}
 
 
 def load_dataset(cfg):

@@ -75,13 +75,28 @@ def _ln_bwd(dy, xhat, rstd, scale):
     return dx, dscale, dbias
 
 
-def _big_mask(mask_ref, rows, seq_len, causal):
-    r = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+def _big_mask(mask_ref, r0, blk, seq_len, causal):
+    """[blk, blk] additive mask for the attention sub-block starting at
+    packed row ``r0`` (block-diagonal per sequence + key padding). ``r0`` is
+    a multiple of ``seq_len`` so sequence boundaries are block-local."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
     allowed = (r // seq_len) == (c // seq_len)
     if causal:
         allowed = allowed & ((c % seq_len) <= (r % seq_len))
-    return jnp.where(allowed, mask_ref[0], -jnp.inf)
+    return jnp.where(allowed, mask_ref[0][:, r0:r0 + blk], -jnp.inf)
+
+
+def _auto_attn_rows(tile_b, seq_len):
+    """Attention sub-block size in packed rows: the ~256-row knee from the
+    tile sweep (docs/PERFORMANCE.md "Sub-blocked attention") — block-diagonal
+    score waste grows quadratically past it, per-block overheads dominate
+    below. Always a multiple of ``seq_len`` and a divisor of the row tile,
+    so sequences never straddle sub-blocks."""
+    a = 1
+    while (a * 2 * seq_len <= 256) and (tile_b % (a * 2) == 0):
+        a *= 2
+    return a * seq_len
 
 
 def _attn_fwd_head(qkv, big_mask, h, d_model, head_dim, scale):
@@ -121,17 +136,30 @@ def _fwd_kernel(
 
     qkv = jnp.dot(xn1, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
-    bm = _big_mask(mask_ref, rows, seq_len, causal)
 
-    ctx_heads = []
-    for h in range(n_heads):
-        _, _, v, p = _attn_fwd_head(qkv, bm, h, d_model, head_dim, scale)
-        if rate > 0.0:
-            p = p * _site_mask(p.shape, rate, interpret, seed_val, pid, h) * kp
-        ctx_heads.append(
-            jnp.dot(p.astype(dtype), v, preferred_element_type=jnp.float32).astype(dtype)
-        )
-    ctx = jnp.concatenate(ctx_heads, axis=1)
+    # sub-blocked attention (see _auto_attn_rows): QKV/out/FF matmuls run on
+    # the full row tile, scores/softmax/pv per ~256-row sub-block. Dropout
+    # sites: (head, sub-block) pairs get ids h * n_blocks + bi, kept below
+    # the reserved per-row site ids.
+    attn_rows = _auto_attn_rows(tile_b, seq_len)
+    n_blocks = rows // attn_rows
+    assert n_heads * n_blocks <= _SITE_ATTN_OUT, (n_heads, n_blocks)
+    ctx_blocks = []
+    for bi, r0 in enumerate(range(0, rows, attn_rows)):
+        bm = _big_mask(mask_ref, r0, attn_rows, seq_len, causal)
+        qkv_blk = qkv[r0:r0 + attn_rows]
+        ctx_heads = []
+        for h in range(n_heads):
+            _, _, v, p = _attn_fwd_head(qkv_blk, bm, h, d_model, head_dim, scale)
+            if rate > 0.0:
+                p = p * _site_mask(p.shape, rate, interpret, seed_val, pid,
+                                   h * n_blocks + bi) * kp
+            ctx_heads.append(
+                jnp.dot(p.astype(dtype), v, preferred_element_type=jnp.float32).astype(dtype)
+            )
+        ctx_blocks.append(jnp.concatenate(ctx_heads, axis=1))
+    ctx = (jnp.concatenate(ctx_blocks, axis=0) if n_blocks > 1
+           else ctx_blocks[0])
     a = jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
     a = a + bo_ref[:].astype(jnp.float32)
     if rate > 0.0:
@@ -197,7 +225,9 @@ def _bwd_kernel(
 
     qkv = jnp.dot(xn1, wqkv_ref[:], preferred_element_type=f32)
     qkv = (qkv + bqkv_ref[:].astype(f32)).astype(dtype)
-    bm = _big_mask(mask_ref, rows, seq_len, causal)
+    attn_rows = _auto_attn_rows(tile_b, seq_len)
+    n_blocks = rows // attn_rows
+    assert n_heads * n_blocks <= _SITE_ATTN_OUT, (n_heads, n_blocks)
 
     m_attn = (
         _site_mask((rows, d_model), rate, interpret, seed_val, pid, _SITE_ATTN_OUT)
@@ -212,20 +242,29 @@ def _bwd_kernel(
         if rate > 0.0 else None
     )
 
-    ctx_heads = []
-    head_cache = []  # (q, k, v, p_raw, keep_mask)
-    for h in range(n_heads):
-        q, k, v, p = _attn_fwd_head(qkv, bm, h, d_model, head_dim, scale)
-        keep = (
-            _site_mask(p.shape, rate, interpret, seed_val, pid, h)
-            if rate > 0.0 else None
-        )
-        pe = p * keep * kp if rate > 0.0 else p
-        head_cache.append((q, k, v, p, keep))
-        ctx_heads.append(
-            jnp.dot(pe.astype(dtype), v, preferred_element_type=f32).astype(dtype)
-        )
-    ctx = jnp.concatenate(ctx_heads, axis=1)
+    ctx_blocks = []
+    block_cache = []  # per sub-block: list of per-head (q, k, v, p_raw, keep)
+    for bi, r0 in enumerate(range(0, rows, attn_rows)):
+        bm = _big_mask(mask_ref, r0, attn_rows, seq_len, causal)
+        qkv_blk = qkv[r0:r0 + attn_rows]
+        ctx_heads = []
+        head_cache = []
+        for h in range(n_heads):
+            q, k, v, p = _attn_fwd_head(qkv_blk, bm, h, d_model, head_dim, scale)
+            keep = (
+                _site_mask(p.shape, rate, interpret, seed_val, pid,
+                           h * n_blocks + bi)
+                if rate > 0.0 else None
+            )
+            pe = p * keep * kp if rate > 0.0 else p
+            head_cache.append((q, k, v, p, keep))
+            ctx_heads.append(
+                jnp.dot(pe.astype(dtype), v, preferred_element_type=f32).astype(dtype)
+            )
+        block_cache.append(head_cache)
+        ctx_blocks.append(jnp.concatenate(ctx_heads, axis=1))
+    ctx = (jnp.concatenate(ctx_blocks, axis=0) if n_blocks > 1
+           else ctx_blocks[0])
     a = jnp.dot(ctx, wo_ref[:], preferred_element_type=f32)
     a = a + bo_ref[:].astype(f32)
     if rate > 0.0:
@@ -283,33 +322,40 @@ def _bwd_kernel(
     )
     dctx = jnp.dot(da16, wo_ref[:].T, preferred_element_type=f32).astype(dtype)
 
-    dq_parts, dk_parts, dv_parts = [], [], []
-    for h in range(n_heads):
-        q, k, v, p, keep = head_cache[h]
-        pe = p * keep * kp if rate > 0.0 else p
-        dctx_h = dctx[:, h * head_dim : (h + 1) * head_dim]
-        dv = jax.lax.dot_general(
-            pe.astype(dtype), dctx_h, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
+    dqkv_blocks = []
+    for bi, r0 in enumerate(range(0, rows, attn_rows)):
+        dctx_blk = dctx[r0:r0 + attn_rows]
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for h in range(n_heads):
+            q, k, v, p, keep = block_cache[bi][h]
+            pe = p * keep * kp if rate > 0.0 else p
+            dctx_h = dctx_blk[:, h * head_dim : (h + 1) * head_dim]
+            dv = jax.lax.dot_general(
+                pe.astype(dtype), dctx_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            dp = jax.lax.dot_general(
+                dctx_h, v, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
+            if rate > 0.0:
+                dp = dp * keep * kp
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds16 = ds.astype(dtype)
+            dq = jax.lax.dot_general(
+                ds16, k, (((1,), (0,)), ((), ())), preferred_element_type=f32
+            ) * scale
+            dk = jax.lax.dot_general(
+                ds16, q, (((0,), (0,)), ((), ())), preferred_element_type=f32
+            ) * scale
+            dq_parts.append(dq.astype(dtype))
+            dk_parts.append(dk.astype(dtype))
+            dv_parts.append(dv.astype(dtype))
+        dqkv_blocks.append(
+            jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=1)
         )
-        dp = jax.lax.dot_general(
-            dctx_h, v, (((1,), (1,)), ((), ())), preferred_element_type=f32
-        )
-        if rate > 0.0:
-            dp = dp * keep * kp
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        ds16 = ds.astype(dtype)
-        dq = jax.lax.dot_general(
-            ds16, k, (((1,), (0,)), ((), ())), preferred_element_type=f32
-        ) * scale
-        dk = jax.lax.dot_general(
-            ds16, q, (((0,), (0,)), ((), ())), preferred_element_type=f32
-        ) * scale
-        dq_parts.append(dq.astype(dtype))
-        dk_parts.append(dk.astype(dtype))
-        dv_parts.append(dv.astype(dtype))
 
-    dqkv = jnp.concatenate(dq_parts + dk_parts + dv_parts, axis=1)
+    dqkv = (jnp.concatenate(dqkv_blocks, axis=0) if n_blocks > 1
+            else dqkv_blocks[0])
     dwqkv_ref[:] += jax.lax.dot_general(
         xn1, dqkv, (((0,), (0,)), ((), ())), preferred_element_type=f32
     )

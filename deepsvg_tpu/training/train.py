@@ -123,7 +123,11 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
     # a full RPC round trip (10-15 ms) dominating the ~29 ms step. Requires
     # traceable cfg.get_weights (the shipped configs' ramps are jnp) and a
     # single device (the shard_map path stays at K=1 for now).
-    K = max(int(getattr(cfg, "steps_per_dispatch", 1) or 1), 1)
+    raw_k = getattr(cfg, "steps_per_dispatch", 1)
+    # steps_per_dispatch=0: debug/AB knob — force the legacy per-step path
+    # with host-computed weights (no scan, no in-graph ramp)
+    legacy_dispatch = raw_k is not None and int(raw_k) == 0
+    K = max(int(raw_k or 1), 1)
     if profile_steps is not None:
         K = 1
     if K > 1:
@@ -131,22 +135,37 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
             v = getattr(cfg, name)
             if v % K != 0:
                 setattr(cfg, name, max(v // K, 1) * K)
+
+    def weights_fn(step):
+        return cfg.get_weights(step, 0)
+
+    # can the weight schedule trace? (shipped ramps are jnp and can; a
+    # config doing data-dependent python control flow on `step` cannot —
+    # it falls back to per-step host weights)
+    try:
+        if legacy_dispatch:
+            raise ValueError("legacy dispatch requested")
+        jax.eval_shape(weights_fn, jax.ShapeDtypeStruct((), np.int32))
+        weights_traceable = True
+    except Exception:
+        weights_traceable = False
+        K = 1
+
+    # In-graph weights whenever possible — even at K=1: passing python-float
+    # weights per dispatch costs several tiny host->device transfers per
+    # step, pure RPC latency through a remote TPU relay.
     if mesh is not None and K > 1:
         from ..parallel.mesh import make_parallel_multi_step
 
         step_fn = make_parallel_multi_step(
-            model, optimizer, model_args, mesh,
-            weights_fn=lambda step: cfg.get_weights(step, 0),
-        )
+            model, optimizer, model_args, mesh, weights_fn=weights_fn)
     elif mesh is not None:
         step_fn = make_parallel_train_step(model, optimizer, model_args, mesh)
-    elif K > 1:
+    elif weights_traceable:
         from .trainer import jit_train_multi_step
 
         step_fn = jit_train_multi_step(
-            model, optimizer, model_args,
-            weights_fn=lambda step: cfg.get_weights(step, 0),
-        )
+            model, optimizer, model_args, weights_fn=weights_fn)
     else:
         step_fn = jit_train_step(model, optimizer, model_args)
 
@@ -172,8 +191,9 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
         if epoch < first_epoch:
             continue
         print(f"Epoch {epoch + 1}")
+        stack = K if (mesh is None and weights_traceable) or K > 1 else 0
         device_batches = prefetch_to_device(
-            loader, size=2, mesh=mesh, keys=set(model_args), stack_steps=K,
+            loader, size=2, mesh=mesh, keys=set(model_args), stack_steps=stack,
         )
         for n_iter, batch_model in enumerate(device_batches):
             step = step_host + K
@@ -189,12 +209,14 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
                     jax.profiler.stop_trace()
                     print(f"profiler trace written to {profile_dir}")
 
-            weights = cfg.get_weights(step, epoch)
-            if K > 1:
+            # in-graph-weights paths compute the ramp inside the jitted step;
+            # keep the hot loop free of per-step host work (each host-side
+            # jnp op / array slice is an extra relay dispatch)
+            stacked_res = (mesh is None and weights_traceable) or K > 1
+            if stacked_res:
                 state, res = step_fn(state, batch_model)
-                # res values are [K]-stacked; expose the window's last step
-                res = {k: v[-1] for k, v in res.items()}
             else:
+                weights = cfg.get_weights(step, epoch)
                 state, res = step_fn(state, batch_model, weights)
             step_host = step
 
@@ -205,13 +227,16 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
                 done = True
 
             if step % cfg.log_every == 0:
-                scalar_stats = {
-                    k: float(v) for k, v in res.items() if np.ndim(v) == 0
-                }
-                scalar_stats.update(
-                    {k: float(v) for k, v in weights.items() if np.ndim(v) == 0}
-                )
-                scalar_stats["lr"] = float(lr_schedule(step))
+                if stacked_res:
+                    # res values are [K]-stacked; expose the window's last step
+                    res = {k: v[-1] for k, v in res.items()}
+                weights = cfg.get_weights(step, epoch)
+                # ONE device->host fetch for all log scalars: each individual
+                # float(x) on a device scalar is a full relay round trip
+                # (~74 ms measured) — per-key fetches cost more than the
+                # whole 20-step window of compute
+                scalar_stats = _fetch_scalar_stats(res, weights,
+                                                   lr_schedule(step))
                 scalar_stats["time"] = timer.get_elapsed_time() / cfg.log_every
                 stats.update("train", step, epoch, scalar_stats)
                 print(stats.get_summary("train"))
@@ -233,6 +258,25 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
     if not debug:
         save_ckpt(checkpoint_dir, state, cfg, stats, train_vars)
     return state, stats
+
+
+def _fetch_scalar_stats(res: dict, weights: dict, lr) -> dict:
+    """Pull every scalar needed for a log line in ONE device->host transfer:
+    stack them into a single f32 vector on device, fetch once, unpack."""
+    import jax.numpy as jnp
+
+    items = {}
+    for src in (res, weights):
+        for k, v in src.items():
+            if np.ndim(v) == 0:
+                items[k] = v
+    keys = list(items)
+    stacked = jnp.stack([jnp.float32(items[k]) for k in keys]
+                        + [jnp.float32(lr)])
+    vals = np.asarray(stacked)
+    out = dict(zip(keys, map(float, vals[:-1])))
+    out["lr"] = float(vals[-1])
+    return out
 
 
 def _make_summary_writer(path):

@@ -53,7 +53,7 @@ def main():
     t = stats.stats["train"]["time"].median
     print(f"end-to-end training: {B/t:,.0f} samples/s "
           f"({t*1e3:.1f} ms/step incl. input pipeline; device-only step is "
-          f"~29 ms at this batch — see scripts/profile_train.py)")
+          f"~34.4 ms at this batch — see scripts/bench_multi_step.py)")
 
 
 if __name__ == "__main__":

@@ -574,6 +574,43 @@ class TestFusedLayerTrain:
                 err_msg=f"grad mismatch: {n}",
             )
 
+    def test_sub_blocked_attention_matches_reference(self, rng):
+        """tile_b large enough that the kernels split attention into multiple
+        ~256-row sub-blocks (layer_vjp._auto_attn_rows): forward and every
+        gradient must still match the XLA reference — masked-out cross-block
+        scores contribute exact zeros, so sub-blocking is a pure reshape of
+        the computation."""
+        from deepsvg_tpu.ops.layer_vjp import _auto_attn_rows, fused_layer_train
+
+        b, s, tile_b = 64, 8, 64  # rows=512 -> attn_rows=256 -> 2 sub-blocks
+        assert _auto_attn_rows(tile_b, s) * 2 == tile_b * s
+        args = self._inputs(rng, b=b, s=s)
+        mask = np.zeros((b, s), np.float32)
+        mask[:, 6:] = -np.inf
+        mask = jnp.asarray(mask)
+        seed = jnp.asarray([0], jnp.int32)
+
+        out = fused_layer_train(*args[:12], mask, seed, 4, tile_b, False, 0.0)
+        ref = self._ref_layer(*args, mask, 4, False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+        argnums = (0, 3, 8)  # x, wqkv, w1 — covers both sides of attention
+        gf = jax.grad(
+            lambda *a: jnp.sum(
+                fused_layer_train(*a, mask, seed, 4, tile_b, False, 0.0) ** 2
+            ),
+            argnums=argnums,
+        )(*args)
+        gr = jax.grad(
+            lambda *a: jnp.sum(self._ref_layer(*a, mask, 4, False) ** 2),
+            argnums=argnums,
+        )(*args)
+        for n, a, b_ in zip(["x", "wqkv", "w1"], gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=5e-4,
+                err_msg=f"grad mismatch: {n}",
+            )
+
     def test_softmax_overflow_regression(self, rng):
         """exp-overflow regression (flagship self-match NaN'd at step ~380 on
         chip): with QKV weights scaled so q.k far exceeds exp's f32 range,

@@ -372,8 +372,13 @@ class TestWireFormat:
         batch = collate([ds[i] for i in range(8)])
         wire = compress_batch(batch)
         assert wire["commands"].dtype == np.int8
-        assert wire["args"].dtype == np.int16
+        # with the matching commands tensor in-batch, -1 pad slots are implied
+        # by CMD_ARGS_MASK and absolute args ship as pure uint8
+        assert wire["args"].dtype == np.uint8
         assert wire["commands"].nbytes * 4 == batch["commands"].astype(np.int32).nbytes
+        # without the commands key the -1s can't be reconstructed -> int16
+        solo = compress_batch({"args": batch["args"]})
+        assert solo["args"].dtype == np.int16
         back = decompress_batch({k: jnp.asarray(v) for k, v in wire.items()})
         assert back["args"].dtype == jnp.float32
         assert back["commands"].dtype == jnp.int32
