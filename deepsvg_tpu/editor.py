@@ -420,11 +420,15 @@ class Editor:
         return path
 
     def paste(self, path: Optional[BezierPath] = None) -> BezierPath:
-        """Paste the clipboard (or given) path as a new layer (main.py:458-467)."""
+        """Paste the clipboard (or given) path as a new layer; the pasted
+        path becomes the exclusive selection (main.py:459-483:
+        paste -> add_new_path -> sidebar.select)."""
         src = path or self.clipboard
         p = src.clone()
         p.index = len(self.paths)
         p.selected = True
+        for q in self.paths:
+            q.selected = False
         self.paths.append(p)
         self.modified = True
         self.timeline.make_keyframe(True)
