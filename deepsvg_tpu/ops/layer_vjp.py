@@ -28,10 +28,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-5
 
-# dropout site ids (anything distinct; heads use their index)
-_SITE_ATTN_OUT = 64
-_SITE_FF_HIDDEN = 65
-_SITE_FF_OUT = 66
+# dropout site ids (anything distinct — they only salt the PRNG re-seed;
+# attention-probability sites use h * n_blocks + bi which stays < 2**16)
+_SITE_ATTN_OUT = 1 << 16
+_SITE_FF_HIDDEN = (1 << 16) + 1
+_SITE_FF_OUT = (1 << 16) + 2
 
 
 def _site_mask(shape, rate, interpret, seed_val, pid, site):
@@ -84,25 +85,33 @@ def _big_mask(mask_ref, r0, blk, seq_len, causal):
     allowed = (r // seq_len) == (c // seq_len)
     if causal:
         allowed = allowed & ((c % seq_len) <= (r % seq_len))
-    return jnp.where(allowed, mask_ref[0][:, r0:r0 + blk], -jnp.inf)
+    return jnp.where(allowed, mask_ref[0, :, r0:r0 + blk], -jnp.inf)
 
 
 def _auto_attn_rows(tile_b, seq_len):
-    """Attention sub-block size in packed rows: the ~256-row knee from the
-    tile sweep (docs/PERFORMANCE.md "Sub-blocked attention") — block-diagonal
-    score waste grows quadratically past it, per-block overheads dominate
-    below. Always a multiple of ``seq_len`` and a divisor of the row tile,
-    so sequences never straddle sub-blocks."""
+    """Attention sub-block size in packed rows for TRAINING kernels: the
+    ~128-row knee from the fwd+bwd sweep (docs/PERFORMANCE.md "Corrected
+    layer-kernel measurements": 128 rows 2.19 ms vs 256 rows 2.55 vs 64 rows
+    2.40 at flagship shapes) — the backward pays the block-diagonal score
+    waste ~2.5x (forward + recompute + dp/ds/dq/dk), which moves the knee
+    below inference's 256. Always a multiple of ``seq_len`` and a divisor
+    of the row tile, so sequences never straddle sub-blocks."""
     a = 1
-    while (a * 2 * seq_len <= 256) and (tile_b % (a * 2) == 0):
+    while (a * 2 * seq_len <= 128) and (tile_b % (a * 2) == 0):
         a *= 2
     return a * seq_len
 
 
-def _attn_fwd_head(qkv, big_mask, h, d_model, head_dim, scale):
-    q = qkv[:, h * head_dim : (h + 1) * head_dim]
-    k = qkv[:, d_model + h * head_dim : d_model + (h + 1) * head_dim]
-    v = qkv[:, 2 * d_model + h * head_dim : 2 * d_model + (h + 1) * head_dim]
+def _attn_fwd_head(qkv, big_mask, h, d_model, head_dim, scale, r0=0,
+                   attn_rows=None):
+    """Per-head attention on the sub-block starting at packed row ``r0``.
+    Slices row+lane ranges straight out of the full-tile ``qkv`` (one
+    combined slice per operand, like the inference kernel) rather than
+    materializing a per-block sublane-slice intermediate."""
+    rr = slice(r0, r0 + (attn_rows or qkv.shape[0]))
+    q = qkv[rr, h * head_dim : (h + 1) * head_dim]
+    k = qkv[rr, d_model + h * head_dim : d_model + (h + 1) * head_dim]
+    v = qkv[rr, 2 * d_model + h * head_dim : 2 * d_model + (h + 1) * head_dim]
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -120,6 +129,7 @@ def _fwd_kernel(
     seed_ref, x_ref, bias_ref, ln1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     ln2_ref, w1_ref, b1_ref, w2_ref, b2_ref, mask_ref, out_ref,
     *, n_heads, seq_len, d_model, tile_b, causal, rate, interpret,
+    attn_rows=None,
 ):
     head_dim = d_model // n_heads
     rows = tile_b * seq_len
@@ -141,16 +151,16 @@ def _fwd_kernel(
     # the full row tile, scores/softmax/pv per ~256-row sub-block. Dropout
     # sites: (head, sub-block) pairs get ids h * n_blocks + bi, kept below
     # the reserved per-row site ids.
-    attn_rows = _auto_attn_rows(tile_b, seq_len)
+    attn_rows = attn_rows or _auto_attn_rows(tile_b, seq_len)
     n_blocks = rows // attn_rows
     assert n_heads * n_blocks <= _SITE_ATTN_OUT, (n_heads, n_blocks)
     ctx_blocks = []
     for bi, r0 in enumerate(range(0, rows, attn_rows)):
         bm = _big_mask(mask_ref, r0, attn_rows, seq_len, causal)
-        qkv_blk = qkv[r0:r0 + attn_rows]
         ctx_heads = []
         for h in range(n_heads):
-            _, _, v, p = _attn_fwd_head(qkv_blk, bm, h, d_model, head_dim, scale)
+            _, _, v, p = _attn_fwd_head(qkv, bm, h, d_model, head_dim, scale,
+                                        r0, attn_rows)
             if rate > 0.0:
                 p = p * _site_mask(p.shape, rate, interpret, seed_val, pid,
                                    h * n_blocks + bi) * kp
@@ -194,6 +204,7 @@ def _bwd_kernel(
     dx_ref, dbias_ref, dln1_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
     dln2_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
     *, n_heads, seq_len, d_model, tile_b, causal, rate, interpret,
+    attn_rows=None,
 ):
     head_dim = d_model // n_heads
     rows = tile_b * seq_len
@@ -225,7 +236,7 @@ def _bwd_kernel(
 
     qkv = jnp.dot(xn1, wqkv_ref[:], preferred_element_type=f32)
     qkv = (qkv + bqkv_ref[:].astype(f32)).astype(dtype)
-    attn_rows = _auto_attn_rows(tile_b, seq_len)
+    attn_rows = attn_rows or _auto_attn_rows(tile_b, seq_len)
     n_blocks = rows // attn_rows
     assert n_heads * n_blocks <= _SITE_ATTN_OUT, (n_heads, n_blocks)
 
@@ -246,11 +257,11 @@ def _bwd_kernel(
     block_cache = []  # per sub-block: list of per-head (q, k, v, p_raw, keep)
     for bi, r0 in enumerate(range(0, rows, attn_rows)):
         bm = _big_mask(mask_ref, r0, attn_rows, seq_len, causal)
-        qkv_blk = qkv[r0:r0 + attn_rows]
         ctx_heads = []
         head_cache = []
         for h in range(n_heads):
-            q, k, v, p = _attn_fwd_head(qkv_blk, bm, h, d_model, head_dim, scale)
+            q, k, v, p = _attn_fwd_head(qkv, bm, h, d_model, head_dim, scale,
+                                        r0, attn_rows)
             keep = (
                 _site_mask(p.shape, rate, interpret, seed_val, pid,
                            h * n_blocks + bi)
@@ -324,12 +335,12 @@ def _bwd_kernel(
 
     dqkv_blocks = []
     for bi, r0 in enumerate(range(0, rows, attn_rows)):
-        dctx_blk = dctx[r0:r0 + attn_rows]
         dq_parts, dk_parts, dv_parts = [], [], []
         for h in range(n_heads):
             q, k, v, p, keep = block_cache[bi][h]
             pe = p * keep * kp if rate > 0.0 else p
-            dctx_h = dctx_blk[:, h * head_dim : (h + 1) * head_dim]
+            dctx_h = dctx[r0:r0 + attn_rows,
+                          h * head_dim : (h + 1) * head_dim]
             dv = jax.lax.dot_general(
                 pe.astype(dtype), dctx_h, (((0,), (0,)), ((), ())),
                 preferred_element_type=f32,
@@ -373,12 +384,13 @@ def _full(shape):
 
 
 def _layer_fwd_call(seed, x, bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
-                    b2, mask, n_heads, tile_b, causal, rate, interpret):
+                    b2, mask, n_heads, tile_b, causal, rate, interpret,
+                    attn_rows=None):
     b, s, d = x.shape
     rows = tile_b * s
     kernel = functools.partial(
         _fwd_kernel, n_heads=n_heads, seq_len=s, d_model=d, tile_b=tile_b,
-        causal=causal, rate=rate, interpret=interpret,
+        causal=causal, rate=rate, interpret=interpret, attn_rows=attn_rows,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -403,13 +415,14 @@ def _layer_fwd_call(seed, x, bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
 
 
 def _layer_bwd_call(seed, x, bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
-                    b2, mask, g, n_heads, tile_b, causal, rate, interpret):
+                    b2, mask, g, n_heads, tile_b, causal, rate, interpret,
+                    attn_rows=None):
     b, s, d = x.shape
     dff = w1.shape[-1]
     rows = tile_b * s
     kernel = functools.partial(
         _bwd_kernel, n_heads=n_heads, seq_len=s, d_model=d, tile_b=tile_b,
-        causal=causal, rate=rate, interpret=interpret,
+        causal=causal, rate=rate, interpret=interpret, attn_rows=attn_rows,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -453,38 +466,42 @@ def _layer_bwd_call(seed, x, bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
       w2, b2, mask.reshape(b // tile_b, 1, rows), g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18))
 def fused_layer_train(x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
-                      b2, mask, seed, n_heads, tile_b, causal, dropout_rate):
+                      b2, mask, seed, n_heads, tile_b, causal, dropout_rate,
+                      attn_rows=None):
     """Differentiable fused transformer layer (training path).
 
     ``seq_bias [B, D]`` is the pre-dropout-applied per-sequence injection
     (pass zeros when none); its gradient is returned (sequence-summed).
     ``seed`` is int32[1]; gradients flow to x, seq_bias and all weights.
+    ``attn_rows`` overrides the attention sub-block size (default: the
+    ~256-row auto pick, _auto_attn_rows).
     """
     interpret = jax.default_backend() == "cpu"
     return _layer_fwd_call(seed, x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2,
                            w1, b1, w2, b2, mask, n_heads, tile_b, causal,
-                           dropout_rate, interpret)
+                           dropout_rate, interpret, attn_rows)
 
 
 def _rule_fwd(x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2,
-              mask, seed, n_heads, tile_b, causal, dropout_rate):
+              mask, seed, n_heads, tile_b, causal, dropout_rate,
+              attn_rows=None):
     out = fused_layer_train(x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1,
                             b1, w2, b2, mask, seed, n_heads, tile_b, causal,
-                            dropout_rate)
+                            dropout_rate, attn_rows)
     return out, (x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2,
                  mask, seed)
 
 
-def _rule_bwd(n_heads, tile_b, causal, dropout_rate, res, g):
+def _rule_bwd(n_heads, tile_b, causal, dropout_rate, attn_rows, res, g):
     (x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2, mask,
      seed) = res
     interpret = jax.default_backend() == "cpu"
     (dx, dbias, dln1, dwqkv, dbqkv, dwo, dbo, dln2, dw1, db1, dw2,
      db2) = _layer_bwd_call(
         seed, x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2,
-        mask, g, n_heads, tile_b, causal, dropout_rate, interpret,
+        mask, g, n_heads, tile_b, causal, dropout_rate, interpret, attn_rows,
     )
     float0 = jax.dtypes.float0
     return (

@@ -55,6 +55,16 @@ def main():
           f"({t*1e3:.1f} ms/step incl. input pipeline; device-only step is "
           f"~34.4 ms at this batch — see scripts/bench_multi_step.py)")
 
+    # training MFU: fwd FLOPs x3 (backward ~2x forward), matmul MACs only
+    from deepsvg_tpu.utils.flops import flops_per_sample, peak_flops_per_chip
+    gflops = 3 * flops_per_sample(cfg.model_cfg) / 1e9
+    peak = peak_flops_per_chip(jax.devices()[0].device_kind)
+    if peak:
+        achieved = (B / t) * gflops * 1e9
+        print(f"training MFU: {gflops:.2f} GFLOPs/sample(train) -> "
+              f"{achieved/1e12:.1f} TFLOPs = {achieved/peak:.1%} of "
+              f"{peak/1e12:.0f} TF/s peak")
+
 
 if __name__ == "__main__":
     main()

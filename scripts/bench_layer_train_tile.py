@@ -42,30 +42,39 @@ def main():
     mask = jnp.zeros((b, s), jnp.float32)
     seed = jnp.asarray([7], jnp.int32)
 
-    N = 30
+    # difference method: per-iter = (t(N_long) - t(N_short)) / (long - short)
+    # so the host<->relay round trip (~30 ms, comparable to the kernels at
+    # these shapes) cancels instead of smearing over the iterations
+    N_SHORT, N_LONG = 10, 110
     for tile_b in (8, 16, 32, 64):
         if b % tile_b:
             continue
 
-        @functools.partial(jax.jit, static_argnums=())
-        def chain(x):
-            def body(carry, _):
-                def loss(xx):
-                    out = fused_layer_train(
-                        xx, bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
-                        b2, mask, seed, heads, tile_b, False, rate)
-                    return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6
-                g = jax.grad(loss)(carry)
-                return (carry * 0.99 + g.astype(dt) * 0.01), None
+        def make(n):
+            @jax.jit
+            def chain(x):
+                def body(carry, _):
+                    def loss(xx):
+                        out = fused_layer_train(
+                            xx, bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1,
+                            w2, b2, mask, seed, heads, tile_b, False, rate)
+                        return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-6
+                    g = jax.grad(loss)(carry)
+                    return (carry * 0.99 + g.astype(dt) * 0.01), None
 
-            y, _ = jax.lax.scan(body, x, None, length=N)
-            return jnp.float32(jnp.sum(y.astype(jnp.float32)))
+                y, _ = jax.lax.scan(body, x, None, length=n)
+                return jnp.float32(jnp.sum(y.astype(jnp.float32)))
+            return chain
 
         try:
-            float(chain(x))  # compile + warm
-            t0 = time.perf_counter()
-            float(chain(x))
-            dt_iter = (time.perf_counter() - t0) / N
+            short, long_ = make(N_SHORT), make(N_LONG)
+            float(short(x)); float(long_(x))  # compile + warm
+            def t(f):
+                t0 = time.perf_counter(); float(f(x))
+                return time.perf_counter() - t0
+            ts = min(t(short) for _ in range(3))
+            tl = min(t(long_) for _ in range(3))
+            dt_iter = (tl - ts) / (N_LONG - N_SHORT)
             ar = _auto_attn_rows(tile_b, s)
             print(f"tile {tile_b:3d} ({tile_b*s:5d} rows, attn {ar}): "
                   f"{dt_iter*1e3:7.3f} ms/layer-fwdbwd")

@@ -576,14 +576,15 @@ class TestFusedLayerTrain:
 
     def test_sub_blocked_attention_matches_reference(self, rng):
         """tile_b large enough that the kernels split attention into multiple
-        ~256-row sub-blocks (layer_vjp._auto_attn_rows): forward and every
+        ~128-row sub-blocks (layer_vjp._auto_attn_rows): forward and every
         gradient must still match the XLA reference — masked-out cross-block
         scores contribute exact zeros, so sub-blocking is a pure reshape of
         the computation."""
         from deepsvg_tpu.ops.layer_vjp import _auto_attn_rows, fused_layer_train
 
-        b, s, tile_b = 64, 8, 64  # rows=512 -> attn_rows=256 -> 2 sub-blocks
-        assert _auto_attn_rows(tile_b, s) * 2 == tile_b * s
+        b, s, tile_b = 64, 8, 64  # rows=512 -> attn 128 -> 4 sub-blocks
+        attn_rows = _auto_attn_rows(tile_b, s)
+        assert attn_rows < tile_b * s and (tile_b * s) % attn_rows == 0
         args = self._inputs(rng, b=b, s=s)
         mask = np.zeros((b, s), np.float32)
         mask[:, 6:] = -np.inf
@@ -593,6 +594,14 @@ class TestFusedLayerTrain:
         out = fused_layer_train(*args[:12], mask, seed, 4, tile_b, False, 0.0)
         ref = self._ref_layer(*args, mask, 4, False)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+        # explicit attn_rows override: any multiple of s dividing the tile
+        for ar in (s, 4 * s, tile_b * s):
+            out_ar = fused_layer_train(*args[:12], mask, seed, 4, tile_b,
+                                       False, 0.0, ar)
+            np.testing.assert_allclose(
+                np.asarray(out_ar), np.asarray(ref), atol=2e-5,
+                err_msg=f"attn_rows={ar}")
 
         argnums = (0, 3, 8)  # x, wqkv, w1 — covers both sides of attention
         gf = jax.grad(
