@@ -33,7 +33,9 @@ def main():
     cfg.ckpt_every = 10_000
     cfg.loader_num_workers = 8
     import os
-    cfg.steps_per_dispatch = int(os.environ.get("BENCH_K", "8"))
+    # K=1 is the production default; K=8 measured slower end-to-end
+    # (stacked staging granularity, docs/PERFORMANCE.md "Multi-step dispatch")
+    cfg.steps_per_dispatch = int(os.environ.get("BENCH_K", "1"))
 
     ds = SyntheticIconDataset(
         n=8192, max_num_groups=cfg.model_cfg.max_num_groups,
@@ -53,7 +55,7 @@ def main():
     t = stats.stats["train"]["time"].median
     print(f"end-to-end training: {B/t:,.0f} samples/s "
           f"({t*1e3:.1f} ms/step incl. input pipeline; device-only step is "
-          f"~34.4 ms at this batch — see scripts/bench_multi_step.py)")
+          f"~28.7 ms at this batch — scripts/profile_train.py)")
 
     # training MFU: fwd FLOPs x3 (backward ~2x forward), matmul MACs only
     from deepsvg_tpu.utils.flops import flops_per_sample, peak_flops_per_chip

@@ -91,6 +91,56 @@ def top_ops(top=25):
                       f"{name[:90]}")
 
 
+def capture_train():
+    """Trace the full flagship TRAIN step (fused layer VJPs + fused CE)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    from deepsvg_tpu.data.synthetic import generate_batch
+    from deepsvg_tpu.models import ModelConfig, SVGTransformer
+    from deepsvg_tpu.training.trainer import (
+        create_train_state, make_optimizer, train_step)
+
+    cfg = ModelConfig(
+        encode_stages=2, decode_stages=2, use_vae=False,
+        compute_dtype="bfloat16", attention_impl="pallas", dropout=0.1,
+    )
+    model = SVGTransformer(cfg)
+    rng = np.random.default_rng(0)
+    b = generate_batch(rng, 128, cfg.max_num_groups, cfg.max_seq_len)
+    data = {"commands": jnp.asarray(b["commands"]),
+            "args": jnp.asarray(b["args"])}
+    optimizer = make_optimizer(optax.constant_schedule(1e-3))
+    state = create_train_state(model, optimizer, data,
+                               ["commands", "args"] * 2)
+    weights = dict(kl_tolerance=0.1, loss_kl_weight=1.0,
+                   loss_visibility_weight=1.0, loss_cmd_weight=1.0,
+                   loss_args_weight=2.0)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def chain(state, data, n):
+        def body(st, _):
+            st, res = train_step(st, data, weights, model, optimizer,
+                                 ["commands", "args"] * 2)
+            return st, res["loss"]
+        st, losses = jax.lax.scan(body, state, None, length=n)
+        return losses[-1]
+
+    np.asarray(chain(state, data, 3))  # compile + warm
+    jax.profiler.start_trace(TRACE_DIR)
+    np.asarray(chain(state, data, 8))
+    jax.profiler.stop_trace()
+
+
 if __name__ == "__main__":
-    capture_inference()
+    if len(sys.argv) > 1 and sys.argv[1] == "train":
+        capture_train()
+    else:
+        capture_inference()
     top_ops()
