@@ -181,6 +181,17 @@ class SVGTensorDataset(SVGDatasetBase):
             return svg.numericalize(256)
         return svg
 
+    def get_item_aug(self, icon_idx: int, aug_idx: int, model_args=None):
+        """One SPECIFIC (icon, augmentation-variant) item — the enumerable
+        access device-resident mode needs (data/resident.py). ``get`` draws
+        the variant randomly (reference svgtensor_dataset.py:156); here the
+        caller picks it, so every variant can be materialized exactly once."""
+        icon_idx = int(icon_idx) % len(self.df)
+        tensors, fillings = self._load_tensor(self.idx_to_id(icon_idx))
+        t_sep = _split_tensor_groups(tensors[int(aug_idx) % len(tensors)])
+        return self.get_data(t_sep, fillings, model_args=model_args,
+                             label=self.get_label(icon_idx))
+
     def get(self, idx=0, model_args=None, random_aug=True, id=None, svg: Optional[SVG] = None):
         if id is None:
             idx = idx % len(self.df)

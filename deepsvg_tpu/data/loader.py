@@ -249,46 +249,122 @@ def device_put_sharded(batch: dict, mesh=None, batch_dim: int = 0):
 
 
 def prefetch_to_device(iterator, size: int = 2, mesh=None, keys=None,
-                       stack_steps: int = 0):
+                       stack_steps: int = 0, num_threads: int = 3):
     """Stage upcoming host batches onto the device(s) ahead of consumption.
 
-    Staging runs on a BACKGROUND thread: through a remote TPU relay,
+    Staging runs on BACKGROUND threads: through a remote TPU relay,
     ``jax.device_put`` can block on an RPC round trip (latency, not
     bandwidth), so staging inline between yields would put that latency back
     on the critical path every step — exactly what this prefetch exists to
-    hide. The thread keeps a ``size``-deep queue of on-device (optionally
-    ``keys``-filtered, wire-compressed) batches ahead of the training loop."""
+    hide. One thread is not enough once the device step is shorter than that
+    round trip (~30 ms measured): a single stager serializes its puts and the
+    loop throttles to the RPC latency. ``num_threads`` stagers each claim the
+    next (slot, host batch) under a lock and put concurrently — the RPCs
+    pipeline — while a slot-ordered hand-off preserves exact batch order
+    (batch-order determinism is part of the reference-parity contract).
+    The queue keeps ``size`` staged batches per thread ahead of the loop."""
+    import os
     import queue as _queue
     import threading
 
-    q: "_queue.Queue" = _queue.Queue(maxsize=size)
+    num_threads = int(os.environ.get("DEEPSVG_TPU_STAGER_THREADS",
+                                     num_threads))
     _END = object()
+
+    def _host_batches():
+        pend = []
+        for batch in iterator:
+            if keys is not None:
+                batch = {k: v for k, v in batch.items() if k in keys}
+            batch = compress_batch(batch)
+            if stack_steps < 1:  # 0: plain per-step batches
+                yield batch, 0
+                continue
+            # multi-step dispatch: stack K host batches -> one [K, ...]
+            # device array per key (feeds trainer.jit_train_multi_step);
+            # a ragged tail is dropped like drop_last
+            pend.append(batch)
+            if len(pend) == stack_steps:
+                stacked = {k: np.stack([b[k] for b in pend]) for k in pend[0]}
+                pend = []
+                yield stacked, 1
+
+    host_iter = _host_batches()
+    claim_lock = threading.Lock()
+    slot_counter = [0]
+    results: dict[int, object] = {}
+    results_cv = threading.Condition()
+    # bound how far stagers run ahead: at most size*num_threads staged
+    # batches (device arrays pin HBM) beyond what the loop has consumed
+    budget = threading.Semaphore(max(size, 1) * max(num_threads, 1))
+    n_live = [max(num_threads, 1)]
+
+    stop = [False]
 
     def stager():
         try:
-            pend = []
-            for batch in iterator:
-                if keys is not None:
-                    batch = {k: v for k, v in batch.items() if k in keys}
-                batch = compress_batch(batch)
-                if stack_steps < 1:  # 0: plain per-step batches
-                    q.put(device_put_sharded(batch, mesh))
-                    continue
-                # multi-step dispatch: stack K host batches -> one [K, ...]
-                # device array per key (feeds trainer.jit_train_multi_step);
-                # a ragged tail is dropped like drop_last
-                pend.append(batch)
-                if len(pend) == stack_steps:
-                    stacked = {k: np.stack([b[k] for b in pend]) for k in pend[0]}
-                    pend = []
-                    q.put(device_put_sharded(stacked, mesh, batch_dim=1))
+            while True:
+                budget.acquire()
+                if stop[0]:
+                    return
+                with claim_lock:
+                    try:
+                        nxt = next(host_iter, None)
+                    except BaseException as e:  # host-side batch prep failed
+                        nxt = _StagerError(e)
+                    if nxt is None:
+                        return
+                    slot = slot_counter[0]
+                    slot_counter[0] += 1
+                if isinstance(nxt, _StagerError):
+                    staged = nxt
+                else:
+                    batch, batch_dim = nxt
+                    try:
+                        staged = device_put_sharded(batch, mesh,
+                                                    batch_dim=batch_dim)
+                    except BaseException as e:  # surface in the consumer
+                        staged = _StagerError(e)
+                with results_cv:
+                    results[slot] = staged
+                    results_cv.notify_all()
+                if isinstance(staged, _StagerError):
+                    return
         finally:
-            q.put(_END)
+            with results_cv:
+                n_live[0] -= 1
+                results_cv.notify_all()
 
-    t = threading.Thread(target=stager, daemon=True)
-    t.start()
-    while True:
-        out = q.get()
-        if out is _END:
-            break
-        yield out
+    threads = [threading.Thread(target=stager, daemon=True)
+               for _ in range(max(num_threads, 1))]
+    for t in threads:
+        t.start()
+
+    slot = 0
+    try:
+        while True:
+            with results_cv:
+                while slot not in results:
+                    if n_live[0] == 0 and slot >= slot_counter[0]:
+                        return  # host iterator exhausted; all slots delivered
+                    results_cv.wait(timeout=1.0)
+                out = results.pop(slot)
+            budget.release()
+            slot += 1
+            if isinstance(out, _StagerError):
+                raise out.exc
+            yield out
+    finally:
+        # consumer done or abandoned mid-epoch (train() breaks on step
+        # budgets): unblock any stager parked on the budget so the threads
+        # exit instead of leaking with staged device arrays pinned
+        stop[0] = True
+        for _ in threads:
+            budget.release()
+
+
+class _StagerError:
+    """Marker carrying an exception out of a stager thread."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc

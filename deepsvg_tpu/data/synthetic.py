@@ -108,6 +108,10 @@ class SyntheticIconDataset:
         self._cache: dict[int, tuple[dict, list]] = {}
         self._cols: dict | None = None
 
+    # items are pure functions of the index -> eligible for device-resident
+    # training (data/resident.py)
+    deterministic_items = True
+
     def __len__(self):
         return self.n
 

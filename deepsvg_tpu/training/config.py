@@ -31,6 +31,11 @@ class TrainConfig:
         # K>1: lax.scan K optimization steps per host dispatch (amortizes
         # per-step dispatch latency; needs traceable get_weights ramps)
         self.steps_per_dispatch = 1
+        # upload the whole tensorized dataset to HBM once and gather batches
+        # on device (data/resident.py): "auto" (on when the dataset supports
+        # it and fits the byte budget), True, or False (stream via loader)
+        self.device_resident = "auto"
+        self.device_resident_max_bytes = 4 << 30
 
         self.pretrained_path: Optional[str] = None
 

@@ -130,11 +130,6 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
     K = max(int(raw_k or 1), 1)
     if profile_steps is not None:
         K = 1
-    if K > 1:
-        for name in ("log_every", "val_every", "ckpt_every"):
-            v = getattr(cfg, name)
-            if v % K != 0:
-                setattr(cfg, name, max(v // K, 1) * K)
 
     def weights_fn(step):
         return cfg.get_weights(step, 0)
@@ -151,10 +146,61 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
         weights_traceable = False
         K = 1
 
+    # Device-resident dataset (data/resident.py): upload the whole wire-
+    # compressed dataset to HBM once and gather batches on device — the
+    # steady state then has NO per-step host->device traffic, and the K-step
+    # scan dispatch shrinks host work to one tiny index transfer per K steps.
+    resident = None
+    if (mesh is None and weights_traceable and profile_steps is None
+            and getattr(cfg, "device_resident", "auto")):
+        from ..data.resident import build_resident_arrays
+
+        built = build_resident_arrays(
+            dataset, model_args,
+            max_bytes=getattr(cfg, "device_resident_max_bytes", 4 << 30),
+            num_workers=cfg.loader_num_workers,
+        )
+        if built is not None:
+            data_host, n_icons, n_augs = built
+            data_dev = jax.device_put(data_host)
+            if raw_k in (None, 1):
+                # un-tuned K: amortize the per-dispatch RPC over 8 steps
+                K = 8
+            # never overshoot an explicit step budget (incl. after resume):
+            # K becomes the largest divisor of the remaining budget <= K
+            for budget in (max_steps, cfg.num_steps):
+                if budget is not None:
+                    rem = max(budget - int(state.step), 1)
+                    K = max(min(K, rem), 1)
+                    while rem % K:
+                        K -= 1
+            resident = (data_dev, n_icons, n_augs)
+            mb = sum(v.nbytes for v in data_host.values()) / 2**20
+            print(f"device-resident dataset: {len(dataset)} items "
+                  f"({n_augs} aug variants), {mb:.1f} MB in HBM, "
+                  f"K={K} steps/dispatch")
+
+    if K > 1:
+        for name in ("log_every", "val_every", "ckpt_every"):
+            v = getattr(cfg, name)
+            if v % K != 0:
+                setattr(cfg, name, max(v // K, 1) * K)
+
     # In-graph weights whenever possible — even at K=1: passing python-float
     # weights per dispatch costs several tiny host->device transfers per
     # step, pure RPC latency through a remote TPU relay.
-    if mesh is not None and K > 1:
+    if resident is not None:
+        from .trainer import jit_train_resident_multi_step
+
+        data_dev, n_icons, n_augs = resident
+        _resident_fn = jit_train_resident_multi_step(
+            model, optimizer, model_args, weights_fn=weights_fn,
+            n_augs=n_augs)
+
+        def step_fn(st, b, _f=_resident_fn, _d=data_dev):
+            return _f(st, _d, b["idx"])
+
+    elif mesh is not None and K > 1:
         from ..parallel.mesh import make_parallel_multi_step
 
         step_fn = make_parallel_multi_step(
@@ -179,6 +225,17 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
         epoch_range = range(cfg.num_epochs)
     first_epoch = int(state.step) // steps_per_epoch
 
+    def _resident_idx_chunks(epoch_number: int):
+        """[K, B] icon-index dicts for one epoch, DataLoader-order-exact."""
+        from ..data.resident import epoch_icon_permutation
+
+        batches = epoch_icon_permutation(
+            len(dataset), resident[1], cfg.batch_size, loader.seed,
+            epoch_number)
+        for i in range(0, (len(batches) // K) * K, K):
+            yield {"idx": batches[i : i + K]}
+
+    resident_epochs = 0
     done = False
     # host-side step counter: fetching int(state.step) every step would block on
     # the previous step's completion — a full device round-trip on the
@@ -191,10 +248,22 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
         if epoch < first_epoch:
             continue
         print(f"Epoch {epoch + 1}")
-        stack = K if (mesh is None and weights_traceable) or K > 1 else 0
-        device_batches = prefetch_to_device(
-            loader, size=2, mesh=mesh, keys=set(model_args), stack_steps=stack,
-        )
+        if resident is not None:
+            # only the [K, B] int32 icon indices cross the host boundary.
+            # Epoch number continues the loader's counter (the init sample
+            # batch consumed one iteration) so the shuffle order is IDENTICAL
+            # to what the streaming pipeline would deliver.
+            resident_epochs += 1
+            device_batches = prefetch_to_device(
+                _resident_idx_chunks(loader._epoch + resident_epochs),
+                size=2, num_threads=1,
+            )
+        else:
+            stack = K if (mesh is None and weights_traceable) or K > 1 else 0
+            device_batches = prefetch_to_device(
+                loader, size=2, mesh=mesh, keys=set(model_args),
+                stack_steps=stack,
+            )
         for n_iter, batch_model in enumerate(device_batches):
             step = step_host + K
 

@@ -202,5 +202,37 @@ def jit_train_multi_step(model, optimizer, model_args, weights_fn,
     return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
+def jit_train_resident_multi_step(model, optimizer, model_args, weights_fn,
+                                  n_augs: int = 1, donate: bool = True):
+    """K training steps per dispatch gathering batches ON DEVICE from a
+    resident dataset (data/resident.py).
+
+    ``data`` is the full wire-compressed dataset ``{k: [M, ...]}`` living in
+    HBM (``M = n_icons * n_augs``); ``icon_idx [K, B]`` carries each step's
+    icon indices — the only per-dispatch host->device transfer (a few KB).
+    With ``n_augs > 1`` the augmentation variant is drawn per (step, item)
+    from a step-seeded on-device key, reproducing the reference's
+    uniform-per-access choice (svgtensor_dataset.py:156) without the host in
+    the loop. Each res value returns ``[K]``-stacked scalars."""
+
+    def multi(state, data, icon_idx):
+        def body(st, idx):
+            if n_augs > 1:
+                akey = jax.random.fold_in(jax.random.PRNGKey(0xA9), st.step)
+                aug = jax.random.randint(akey, idx.shape, 0, n_augs)
+                flat = idx * n_augs + aug
+            else:
+                flat = idx
+            batch = {k: jnp.take(v, flat, axis=0) for k, v in data.items()}
+            w = weights_fn(st.step)
+            st, res = train_step(st, batch, w, model=model,
+                                 optimizer=optimizer, model_args=model_args)
+            return st, {k: v for k, v in res.items() if jnp.ndim(v) == 0}
+
+        return jax.lax.scan(body, state, icon_idx)
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
 def jit_eval_step(model, model_args):
     return jax.jit(partial(eval_step, model=model, model_args=model_args))

@@ -33,9 +33,12 @@ def main():
     cfg.ckpt_every = 10_000
     cfg.loader_num_workers = 8
     import os
-    # K=1 is the production default; K=8 measured slower end-to-end
-    # (stacked staging granularity, docs/PERFORMANCE.md "Multi-step dispatch")
+    # K=1 is the production default for STREAMING; resident mode picks K=8
+    # itself. BENCH_K overrides; BENCH_RESIDENT=0 forces the streaming
+    # pipeline for A/B (default: "auto" = resident when supported).
     cfg.steps_per_dispatch = int(os.environ.get("BENCH_K", "1"))
+    if os.environ.get("BENCH_RESIDENT", "") == "0":
+        cfg.device_resident = False
 
     ds = SyntheticIconDataset(
         n=8192, max_num_groups=cfg.model_cfg.max_num_groups,
@@ -45,17 +48,22 @@ def main():
     for i in range(len(ds)):
         ds[i]
 
-    # The loop's own interval timer gives per-step wall time excluding the
-    # one-time setup (compile-cache load, state init): 'time' is
-    # seconds-per-step averaged over each log_every window; take the median
-    # window of a 160-step run (the first window absorbs compile).
-    cfg.log_every = 20
+    # Steady-state timing from INSIDE one run: the loop's per-log-window
+    # interval times are wall clock between consecutive log fetches (each a
+    # hard sync point). The FIRST window absorbs trace+compile and is
+    # dropped; the rest are pure pipeline + one ~30 ms fetch stall per
+    # window (bias +30/log_every ms/step, ~0.2 ms at log_every=160 —
+    # noted, not subtracted). Two-run difference methods proved unusable
+    # here: single-core host tracing noise (seconds) swamps the signal.
+    cfg.log_every = 160
     _, stats = train(cfg, "bench", "e2e", log_dir="/tmp/bench_e2e_logs",
-                     debug=True, dataset=ds, max_steps=160)
-    t = stats.stats["train"]["time"].median
+                     debug=True, dataset=ds, max_steps=1600)
+    windows = list(stats.stats["train"]["time"].deque)[1:]
+    t = sum(windows) / max(len(windows), 1)
     print(f"end-to-end training: {B/t:,.0f} samples/s "
-          f"({t*1e3:.1f} ms/step incl. input pipeline; device-only step is "
-          f"~28.7 ms at this batch — scripts/profile_train.py)")
+          f"({t*1e3:.1f} ms/step incl. input pipeline over "
+          f"{len(windows)} x {cfg.log_every}-step windows; device-only step "
+          f"is ~28.7 ms at this batch — scripts/profile_train.py)")
 
     # training MFU: fwd FLOPs x3 (backward ~2x forward), matmul MACs only
     from deepsvg_tpu.utils.flops import flops_per_sample, peak_flops_per_chip

@@ -1,0 +1,137 @@
+"""Device-resident dataset mode (deepsvg_tpu/data/resident.py): build,
+epoch-order equivalence with the streaming DataLoader, and bit-exact
+train() agreement between the resident and streaming pipelines."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from deepsvg_tpu.data.loader import DataLoader
+from deepsvg_tpu.data.resident import (
+    build_resident_arrays,
+    epoch_icon_permutation,
+    estimate_resident_bytes,
+)
+from deepsvg_tpu.data.synthetic import SyntheticIconDataset
+
+from test_runtime import TinyConfig, tiny_dataset
+
+
+class TestBuild:
+    def test_synthetic_columnar(self):
+        ds = tiny_dataset()
+        built = build_resident_arrays(ds, ["commands", "args"])
+        assert built is not None
+        data, n_icons, n_augs = built
+        assert n_icons == len(ds) and n_augs == 1
+        assert data["commands"].shape[0] == len(ds)
+        assert data["commands"].dtype == np.int8  # wire format
+        assert data["args"].dtype == np.uint8  # masked-args wire
+        # row i is exactly item i
+        item = ds[3]
+        np.testing.assert_array_equal(data["commands"][3], item["commands"])
+
+    def test_byte_budget_rejects(self):
+        ds = tiny_dataset()
+        assert build_resident_arrays(ds, ["commands", "args"],
+                                     max_bytes=16) is None
+        est = estimate_resident_bytes(ds, ["commands", "args"])
+        assert est is not None and est > 16
+
+    def test_unsupported_dataset_returns_none(self):
+        class Opaque:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                return {"commands": np.zeros((3, 8), np.int32)}
+
+        assert build_resident_arrays(Opaque(), ["commands"]) is None
+
+    def test_tensor_dataset_enumerates_augs(self, tmp_path):
+        """SVGTensorDataset: each (icon, aug) variant lands at
+        flat = icon * n_augs + aug."""
+        import pandas as pd
+
+        from deepsvg_tpu.data.dataset import SVGTensorDataset
+        from deepsvg_tpu.data.synthetic import _random_path
+
+        data_dir = tmp_path / "tensors"
+        data_dir.mkdir()
+        rng = np.random.default_rng(0)
+        rows = []
+        for i in range(5):
+            variants = [_random_path(rng, 4) for _ in range(3)]
+            with open(data_dir / f"ic{i}.pkl", "wb") as f:
+                pickle.dump({"tensors": variants, "fillings": [0]}, f)
+            rows.append({"id": f"ic{i}", "total_len": 5, "nb_groups": 1,
+                         "max_len_group": 5})
+        meta = tmp_path / "meta.csv"
+        pd.DataFrame(rows).to_csv(meta, index=False)
+
+        ds = SVGTensorDataset(str(data_dir), str(meta), ["commands", "args"],
+                              3, 6, 18)
+        assert ds.nb_augmentations == 3
+        built = build_resident_arrays(ds, ["commands", "args"])
+        assert built is not None
+        data, n_icons, n_augs = built
+        assert (n_icons, n_augs) == (5, 3)
+        assert data["commands"].shape[0] == 15
+        for icon in (0, 4):
+            for aug in (0, 2):
+                item = ds.get_item_aug(icon, aug)
+                np.testing.assert_array_equal(
+                    data["commands"][icon * 3 + aug], item["commands"])
+
+
+class TestEpochOrder:
+    def test_permutation_matches_dataloader(self):
+        """Same epoch number -> identical batch membership and order as the
+        streaming DataLoader's shuffle."""
+        ds = tiny_dataset()
+        loader = DataLoader(ds, batch_size=8, shuffle=True, drop_last=True,
+                            num_workers=1, seed=0)
+        # advance the loader's epoch counter the way train() does (init batch)
+        next(iter(loader))
+        streamed = list(loader)  # epoch 2
+        batches = epoch_icon_permutation(len(ds), len(ds), 8, seed=0, epoch=2)
+        assert batches.shape == (4, 8)
+        for b_idx, idx_row in zip(streamed, batches):
+            expect = ds.get_batch_arrays(idx_row)
+            np.testing.assert_array_equal(b_idx["commands"],
+                                          expect["commands"])
+
+    def test_aug_space_reduced_to_icons(self):
+        batches = epoch_icon_permutation(12, 4, 4, seed=0, epoch=1)
+        assert batches.max() < 4 and batches.min() >= 0
+        assert batches.shape == (3, 4)
+
+
+class TestTrainParity:
+    def test_resident_train_equals_streaming(self, tmp_path):
+        """train() with the resident pipeline produces bit-identical params
+        to the streaming pipeline: same shuffle order, same RNG chain, the
+        only difference is WHERE the batch is gathered."""
+        import jax
+
+        from deepsvg_tpu.training.train import train
+
+        def run(resident: bool):
+            cfg = TinyConfig()
+            cfg.num_epochs = 2
+            cfg.device_resident = resident
+            cfg.steps_per_dispatch = 2 if resident else 1
+            ds = tiny_dataset()
+            state, _ = train(cfg, "res", "a" if resident else "b",
+                             log_dir=str(tmp_path), debug=True, dataset=ds,
+                             max_steps=6)
+            return state
+
+        s_res = run(True)
+        s_str = run(False)
+        assert int(s_res.step) == int(s_str.step) == 6
+        flat_r = jax.tree_util.tree_leaves(s_res.params)
+        flat_s = jax.tree_util.tree_leaves(s_str.params)
+        for a, b in zip(flat_r, flat_s):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

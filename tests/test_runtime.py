@@ -74,6 +74,37 @@ class TestLoader:
         out = collate([{"a": np.zeros(2), "label": None}] * 3)
         assert "a" in out and "label" not in out
 
+    def test_prefetch_to_device_stacked(self):
+        """stack_steps=K: batches arrive [K, B, ...]-stacked, in order, with
+        the ragged tail dropped — exercised across several stager threads."""
+        from deepsvg_tpu.data.loader import prefetch_to_device
+
+        ds = tiny_dataset()  # 32 items -> 4 batches of 8 -> 2 stacks, 0 tail
+        host = list(DataLoader(ds, batch_size=8, num_workers=1,
+                               shuffle=False))
+        dev = list(prefetch_to_device(
+            DataLoader(ds, batch_size=8, num_workers=1, shuffle=False),
+            size=1, keys={"commands"}, stack_steps=3, num_threads=4,
+        ))
+        assert len(dev) == 1  # 4 batches // 3 = 1 full stack, tail dropped
+        assert dev[0]["commands"].shape == (3,) + host[0]["commands"].shape
+        for k in range(3):
+            np.testing.assert_array_equal(np.asarray(dev[0]["commands"][k]),
+                                          host[k]["commands"])
+
+    def test_prefetch_propagates_stager_error(self):
+        """An exception inside staging surfaces in the consumer, not a hang."""
+        from deepsvg_tpu.data.loader import prefetch_to_device
+
+        def bad_batches():
+            yield {"commands": np.zeros((2, 2), np.int32)}
+            yield {"commands": object()}  # np.stack-able but not device-able
+
+        import pytest
+
+        with pytest.raises(Exception):
+            list(prefetch_to_device(bad_batches(), size=1, num_threads=2))
+
     def test_prefetch_to_device(self):
         """Device prefetch: yields every batch in order, on device, filtered
         to the requested keys."""
