@@ -249,7 +249,8 @@ def device_put_sharded(batch: dict, mesh=None, batch_dim: int = 0):
 
 
 def prefetch_to_device(iterator, size: int = 2, mesh=None, keys=None,
-                       stack_steps: int = 0, num_threads: int = 3):
+                       stack_steps: int = 0, num_threads: int = 3,
+                       put_fn=None):
     """Stage upcoming host batches onto the device(s) ahead of consumption.
 
     Staging runs on BACKGROUND threads: through a remote TPU relay,
@@ -321,8 +322,11 @@ def prefetch_to_device(iterator, size: int = 2, mesh=None, keys=None,
                 else:
                     batch, batch_dim = nxt
                     try:
-                        staged = device_put_sharded(batch, mesh,
-                                                    batch_dim=batch_dim)
+                        if put_fn is not None:
+                            staged = put_fn(batch)
+                        else:
+                            staged = device_put_sharded(batch, mesh,
+                                                        batch_dim=batch_dim)
                     except BaseException as e:  # surface in the consumer
                         staged = _StagerError(e)
                 with results_cv:

@@ -129,3 +129,53 @@ def make_parallel_multi_step(model, optimizer, model_args, mesh: Mesh,
         return jax.lax.scan(body, state, batches)
 
     return jax.jit(multi, donate_argnums=(0,))
+
+
+def make_parallel_resident_multi_step(model, optimizer, model_args,
+                                      mesh: Mesh, weights_fn,
+                                      n_augs: int = 1,
+                                      data_axis: str = "data"):
+    """Data-parallel device-resident training (data/resident.py × DP): the
+    wire-compressed dataset is REPLICATED on every chip (a few GB — well
+    inside a chip's HBM next to the ~10M-param model), each shard gathers
+    its ``B/n`` rows of every step's batch from its local copy, and K steps
+    scan per dispatch. Only the ``[K, B]`` icon indices cross the host
+    boundary, sharded over ``data`` on their batch axis — the steady state
+    needs no host bandwidth at all, on ANY number of chips. Augmentation
+    choice is drawn on device per (step, shard, item)."""
+    import jax.numpy as jnp
+
+    from functools import partial
+
+    from ..training.trainer import train_step
+
+    fn = partial(train_step, model=model, optimizer=optimizer,
+                 model_args=model_args, axis_name=data_axis)
+
+    def shard_fn(st, data, idx, w):
+        if n_augs > 1:
+            akey = jax.random.fold_in(jax.random.PRNGKey(0xA9), st.step)
+            akey = jax.random.fold_in(akey, jax.lax.axis_index(data_axis))
+            aug = jax.random.randint(akey, idx.shape, 0, n_augs)
+            flat = idx * n_augs + aug
+        else:
+            flat = idx
+        batch = {k: jnp.take(v, flat, axis=0) for k, v in data.items()}
+        return fn(st, batch, w)
+
+    def one(state, data, idx, weights):
+        return jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(data_axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(state, data, idx, weights)
+
+    def multi(state, data, idxs):
+        def body(st, idx):
+            st, res = one(st, data, idx, weights_fn(st.step))
+            return st, {k: v for k, v in res.items() if jnp.ndim(v) == 0}
+
+        return jax.lax.scan(body, state, idxs)
+
+    return jax.jit(multi, donate_argnums=(0,))

@@ -151,7 +151,7 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
     # steady state then has NO per-step host->device traffic, and the K-step
     # scan dispatch shrinks host work to one tiny index transfer per K steps.
     resident = None
-    if (mesh is None and weights_traceable and profile_steps is None
+    if (weights_traceable and profile_steps is None
             and getattr(cfg, "device_resident", "auto")):
         from ..data.resident import build_resident_arrays
 
@@ -162,7 +162,14 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
         )
         if built is not None:
             data_host, n_icons, n_augs = built
-            data_dev = jax.device_put(data_host)
+            if mesh is not None:
+                # replicate the corpus on every chip: each DP shard gathers
+                # its rows locally, no cross-chip data movement per step
+                from ..parallel.mesh import replicated
+
+                data_dev = jax.device_put(data_host, replicated(mesh))
+            else:
+                data_dev = jax.device_put(data_host)
             if raw_k in (None, 1):
                 # un-tuned K: amortize the per-dispatch RPC over 8 steps
                 K = 8
@@ -190,12 +197,19 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
     # weights per dispatch costs several tiny host->device transfers per
     # step, pure RPC latency through a remote TPU relay.
     if resident is not None:
-        from .trainer import jit_train_resident_multi_step
-
         data_dev, n_icons, n_augs = resident
-        _resident_fn = jit_train_resident_multi_step(
-            model, optimizer, model_args, weights_fn=weights_fn,
-            n_augs=n_augs)
+        if mesh is not None:
+            from ..parallel.mesh import make_parallel_resident_multi_step
+
+            _resident_fn = make_parallel_resident_multi_step(
+                model, optimizer, model_args, mesh, weights_fn=weights_fn,
+                n_augs=n_augs)
+        else:
+            from .trainer import jit_train_resident_multi_step
+
+            _resident_fn = jit_train_resident_multi_step(
+                model, optimizer, model_args, weights_fn=weights_fn,
+                n_augs=n_augs)
 
         def step_fn(st, b, _f=_resident_fn, _d=data_dev):
             return _f(st, _d, b["idx"])
@@ -254,9 +268,16 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
             # batch consumed one iteration) so the shuffle order is IDENTICAL
             # to what the streaming pipeline would deliver.
             resident_epochs += 1
+            put_fn = None
+            if mesh is not None:
+                from ..parallel.mesh import batch_sharding
+
+                idx_sharding = batch_sharding(mesh, batch_dim=1)
+                put_fn = lambda b: {  # noqa: E731
+                    "idx": jax.device_put(b["idx"], idx_sharding)}
             device_batches = prefetch_to_device(
                 _resident_idx_chunks(loader._epoch + resident_epochs),
-                size=2, num_threads=1,
+                size=2, num_threads=1, put_fn=put_fn,
             )
         else:
             stack = K if (mesh is None and weights_traceable) or K > 1 else 0
@@ -281,7 +302,8 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
             # in-graph-weights paths compute the ramp inside the jitted step;
             # keep the hot loop free of per-step host work (each host-side
             # jnp op / array slice is an extra relay dispatch)
-            stacked_res = (mesh is None and weights_traceable) or K > 1
+            stacked_res = ((mesh is None and weights_traceable) or K > 1
+                           or resident is not None)
             if stacked_res:
                 state, res = step_fn(state, batch_model)
             else:
