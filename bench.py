@@ -96,7 +96,63 @@ def main():
     }
     if peak:
         out["mfu"] = round(achieved / peak, 4)
+    try:
+        ms_per_step, train_sps = _train_throughput()
+        out["train_samples_per_s"] = round(train_sps, 1)
+        out["train_ms_per_step"] = round(ms_per_step, 2)
+    except Exception:
+        pass  # the headline inference metric must survive any training-path issue
     print(json.dumps(out))
+
+
+def _train_throughput(batch_size: int = 128, n_iters: int = 10):
+    """Flagship training step (fused layer VJPs + fused softmax-CE head,
+    dropout 0.1) on one chip, same chained-scan difference timing as the
+    inference metric. Returns (ms/step, samples/s)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deepsvg_tpu.data.synthetic import generate_batch
+    from deepsvg_tpu.models import ModelConfig, SVGTransformer
+    from deepsvg_tpu.training.trainer import (
+        create_train_state, make_optimizer, train_step)
+
+    cfg = ModelConfig(
+        encode_stages=2, decode_stages=2, use_vae=False,
+        compute_dtype="bfloat16", attention_impl="pallas", dropout=0.1,
+    )
+    model = SVGTransformer(cfg)
+    model_args = ["commands", "args", "commands", "args"]
+    rng = np.random.default_rng(0)
+    b = generate_batch(rng, batch_size, cfg.max_num_groups, cfg.max_seq_len)
+    data = {"commands": jnp.asarray(b["commands"]), "args": jnp.asarray(b["args"])}
+    optimizer = make_optimizer(optax.constant_schedule(1e-3))
+    state = create_train_state(model, optimizer, data, model_args)
+    weights = dict(kl_tolerance=0.1, loss_kl_weight=1.0,
+                   loss_visibility_weight=1.0, loss_cmd_weight=1.0,
+                   loss_args_weight=2.0)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def chain(state, data, n):
+        def body(st, _):
+            st, res = train_step(st, data, weights, model, optimizer, model_args)
+            return st, res["loss"]
+
+        _, losses = jax.lax.scan(body, state, None, length=n)
+        return losses[-1]
+
+    def timed(n, reps=3):
+        np.asarray(chain(state, data, n))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(chain(state, data, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_step = (timed(1 + n_iters) - timed(1)) / n_iters
+    return per_step * 1e3, batch_size / per_step
 
 
 if __name__ == "__main__":
