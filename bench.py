@@ -100,6 +100,9 @@ def main():
         ms_per_step, train_sps = _train_throughput()
         out["train_samples_per_s"] = round(train_sps, 1)
         out["train_ms_per_step"] = round(ms_per_step, 2)
+        if peak:
+            # train MFU convention: 3x forward FLOPs (fwd + ~2x backward)
+            out["train_mfu"] = round(train_sps * 3 * fps / peak, 4)
     except Exception:
         pass  # the headline inference metric must survive any training-path issue
     print(json.dumps(out))

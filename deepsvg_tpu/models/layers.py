@@ -64,6 +64,25 @@ def key_padding_to_additive(key_padding_mask: Optional[jnp.ndarray]) -> Optional
     return jnp.where(key_padding_mask, -jnp.inf, 0.0)
 
 
+def _pad_seq_for_kernel(x: jnp.ndarray, mask: jnp.ndarray, mult: int = 8):
+    """Pad ``x [B, S, D]`` / additive ``mask [B, S]`` so S is a multiple of
+    ``mult``. Odd sequence lengths (D1's S=31) put the fused kernels'
+    attention sub-block row offsets off the 8/16-row sublane tile, forcing a
+    vector relayout per block per head — measured 2.50 -> 2.17 ms/layer
+    fwd+bwd at flagship D1 training shapes from this padding alone
+    (scripts/exp_seq_align.py). Pad keys are masked -inf; pad rows are fully
+    masked and produce exact zeros via the kernels' 0/0 guard, so outputs
+    (sliced back) and every gradient are bit-identical to the unpadded
+    computation."""
+    s = x.shape[1]
+    pad = (-s) % mult
+    if pad == 0:
+        return x, mask, s
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    mp = jnp.pad(mask, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    return xp, mp, s
+
+
 class _TransformerLayerBase(nn.Module):
     """Shared parameter declaration + path dispatch for the two layer types."""
 
@@ -187,6 +206,8 @@ class _TransformerLayerBase(nn.Module):
             key_pad.astype(jnp.float32)
             if key_pad is not None else jnp.zeros((b, s), jnp.float32)
         )
+        x, mask, s_orig = _pad_seq_for_kernel(x, mask)
+        s = x.shape[1]
         if seq_bias is None:
             seq_bias = jnp.zeros((b, self.d_model), x.dtype)
         if self.dropout > 0.0 and self.has_rng("dropout"):
@@ -197,12 +218,13 @@ class _TransformerLayerBase(nn.Module):
         else:
             seed = jnp.zeros((1,), jnp.int32)
             rate = 0.0
-        return fused_layer_train(
+        out = fused_layer_train(
             x, seq_bias.astype(x.dtype), p["norm1"], p["wqkv"], p["bqkv"],
             p["wo"], p["bo"], p["norm2"], p["ff1_kernel"], p["ff1_bias"],
             p["ff2_kernel"], p["ff2_bias"], mask, seed,
             self.n_heads, pick_tile_b(b, s), causal, rate,
         )
+        return out[:, :s_orig, :]
 
 
 class EncoderLayerImproved(_TransformerLayerBase):
@@ -227,6 +249,8 @@ class EncoderLayerImproved(_TransformerLayerBase):
                 key_pad.astype(jnp.float32)
                 if key_pad is not None else jnp.zeros((b, s), jnp.float32)
             )
+            src, mask, s_orig = _pad_seq_for_kernel(src, mask)
+            s = src.shape[1]
             seq_bias = None
             if self.use_label and label_emb is not None:
                 le = label_emb[:, 0, :] if label_emb.ndim == 3 else label_emb
@@ -240,7 +264,7 @@ class EncoderLayerImproved(_TransformerLayerBase):
                 # interpret mode keeps small tiles (compile/run time)
                 tile_b=pick_tile_b(b, s, target_rows=_tile_target()),
                 seq_bias=seq_bias,
-            )
+            )[:, :s_orig, :]
 
         if self.attn_impl == "pallas":  # fused train path (not deterministic)
             seq_bias = None
@@ -305,6 +329,8 @@ class DecoderLayerGlobalImproved(_TransformerLayerBase):
                 key_pad.astype(jnp.float32)
                 if key_pad is not None else jnp.zeros((b, s), jnp.float32)
             )
+            tgt, mask, s_orig = _pad_seq_for_kernel(tgt, mask)
+            s = tgt.shape[1]
             extra_bias = None
             if self.use_label and label_emb is not None:
                 le = label_emb[:, 0, :] if label_emb.ndim == 3 else label_emb
@@ -315,7 +341,7 @@ class DecoderLayerGlobalImproved(_TransformerLayerBase):
                 p["ff2_kernel"], p["ff2_bias"], mask, n_heads=self.n_heads,
                 tile_b=pick_tile_b(b, s, target_rows=_tile_target()),
                 causal=causal, extra_bias=extra_bias,
-            )
+            )[:, :s_orig, :]
 
         if self.attn_impl == "pallas":  # fused train path (not deterministic)
             seq_bias = nn.Dropout(self.dropout, deterministic=False)(z2 @ wg + bg)

@@ -31,15 +31,20 @@ def _fwd_kernel(
     y_ref, wa_ref, ba_ref, tgt_ref, ce_ref,
     *, n_args: int, args_vocab: int, tile_rows: int,
 ):
+    # wa_ref is stacked per-slot [n_args, D, vocab] (likewise ba_ref
+    # [n_args, vocab]): selecting a slot is a free leading-dim index. The
+    # original flat layout's per-slot LANE slices (offsets 257, 514, ... not
+    # multiples of 128) forced a vector relayout per slot per grid step —
+    # measured 2.61 ms/step fwd+bwd at flagship shapes vs a ~0.95 ms matmul
+    # floor; the stacked layout removes them.
     y = y_ref[:]  # [tile_rows, D]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, args_vocab), 1)
     cols = []
     for s in range(n_args):
-        sl = slice(s * args_vocab, (s + 1) * args_vocab)
-        lg = jnp.dot(y, wa_ref[:, sl], preferred_element_type=jnp.float32)
-        lg = lg + ba_ref[:, sl].astype(jnp.float32)
+        lg = jnp.dot(y, wa_ref[s], preferred_element_type=jnp.float32)
+        lg = lg + ba_ref[s : s + 1, :].astype(jnp.float32)
         m = jnp.max(lg, axis=-1, keepdims=True)
         lse = m + jnp.log(jnp.sum(jnp.exp(lg - m), axis=-1, keepdims=True))
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, args_vocab), 1)
         onehot = col == tgt_ref[:, s : s + 1]
         tl = jnp.sum(jnp.where(onehot, lg, 0.0), axis=-1, keepdims=True)
         cols.append(lse - tl)
@@ -58,14 +63,13 @@ def _pairwise_kernel(
     pair (model/model.py:322-335); here the pairwise CE ``[rows, G*n_args]``
     is the only head-sized tensor that ever exists."""
     y = y_ref[:]  # [tile_rows, D]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, args_vocab), 1)
     cols: list = [None] * (n_variants * n_args)
     for s in range(n_args):
-        sl = slice(s * args_vocab, (s + 1) * args_vocab)
-        lg = jnp.dot(y, wa_ref[:, sl], preferred_element_type=jnp.float32)
-        lg = lg + ba_ref[:, sl].astype(jnp.float32)
+        lg = jnp.dot(y, wa_ref[s], preferred_element_type=jnp.float32)
+        lg = lg + ba_ref[s : s + 1, :].astype(jnp.float32)
         m = jnp.max(lg, axis=-1, keepdims=True)
         lse = m + jnp.log(jnp.sum(jnp.exp(lg - m), axis=-1, keepdims=True))
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, args_vocab), 1)
         for g in range(n_variants):
             c = g * n_args + s
             onehot = col == tgt_ref[:, c : c + 1]
@@ -84,27 +88,29 @@ def _bwd_kernel(
         dba_ref[:] = jnp.zeros_like(dba_ref)
 
     y = y_ref[:]
-    yf = y.astype(jnp.float32)
+    md = y.dtype
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, args_vocab), 1)
     dy = jnp.zeros((tile_rows, d_model), jnp.float32)
     for s in range(n_args):
-        sl = slice(s * args_vocab, (s + 1) * args_vocab)
-        w = wa_ref[:, sl]
+        w = wa_ref[s]  # [D, vocab] — free leading-dim slot select
         lg = jnp.dot(y, w, preferred_element_type=jnp.float32)
-        lg = lg + ba_ref[:, sl].astype(jnp.float32)
+        lg = lg + ba_ref[s : s + 1, :].astype(jnp.float32)
         m = jnp.max(lg, axis=-1, keepdims=True)
         e = jnp.exp(lg - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, args_vocab), 1)
         onehot = col == tgt_ref[:, s : s + 1]
         dlg = (p - jnp.where(onehot, 1.0, 0.0)) * g_ref[:, s : s + 1]
+        dlg16 = dlg.astype(md)
         dy = dy + jax.lax.dot_general(
-            dlg, w.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            dlg16, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dwa_ref[:, sl] = dwa_ref[:, sl] + jax.lax.dot_general(
-            yf, dlg, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dwa_ref[s] = dwa_ref[s] + jax.lax.dot_general(
+            y, dlg16, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        dba_ref[:, sl] = dba_ref[:, sl] + jnp.sum(dlg, axis=0, keepdims=True)
+        dba_ref[s : s + 1, :] = dba_ref[s : s + 1, :] + jnp.sum(
+            dlg, axis=0, keepdims=True
+        )
     dy_ref[:] = dy.astype(dy_ref.dtype)
 
 
@@ -113,11 +119,23 @@ def _full_spec(shape):
                         memory_space=pltpu.VMEM)
 
 
+def _stack_slots(wa, ba, n_args):
+    """[D, n_args*vocab] -> [n_args, D, vocab] (+ ba [n_args, vocab]): the
+    kernels select a slot by a free leading-dim index instead of a
+    lane-unaligned slice (vocab=257 offsets force per-slot relayouts)."""
+    d, k = wa.shape
+    vocab = k // n_args
+    wa3 = wa.reshape(d, n_args, vocab).transpose(1, 0, 2)
+    ba2 = ba.reshape(n_args, vocab)
+    return wa3, ba2
+
+
 def _ce_fwd_call(y, wa, ba, targets, n_args, tile_rows, interpret):
     r, d = y.shape
     args_vocab = wa.shape[-1] // n_args
     if jax.default_backend() == "cpu":
         interpret = True
+    wa3, ba2 = _stack_slots(wa, ba, n_args)
     kernel = functools.partial(
         _fwd_kernel, n_args=n_args, args_vocab=args_vocab, tile_rows=tile_rows,
     )
@@ -127,14 +145,14 @@ def _ce_fwd_call(y, wa, ba, targets, n_args, tile_rows, interpret):
         grid=(r // tile_rows,),
         in_specs=[
             pl.BlockSpec((tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            _full_spec(wa.shape),
-            _full_spec((1, ba.shape[0])),
+            _full_spec(wa3.shape),
+            _full_spec(ba2.shape),
             pl.BlockSpec((tile_rows, n_args), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_rows, n_args), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(y, wa, ba.reshape(1, -1), targets)
+    )(y, wa3, ba2, targets)
 
 
 def _ce_bwd_call(y, wa, ba, targets, g, n_args, tile_rows, interpret):
@@ -143,33 +161,35 @@ def _ce_bwd_call(y, wa, ba, targets, g, n_args, tile_rows, interpret):
     args_vocab = k // n_args
     if jax.default_backend() == "cpu":
         interpret = True
+    wa3, ba2 = _stack_slots(wa, ba, n_args)
     kernel = functools.partial(
         _bwd_kernel, n_args=n_args, args_vocab=args_vocab, tile_rows=tile_rows,
         d_model=d,
     )
-    dy, dwa, dba = pl.pallas_call(
+    dy, dwa3, dba2 = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((r, d), y.dtype),
-            jax.ShapeDtypeStruct((d, k), jnp.float32),
-            jax.ShapeDtypeStruct((1, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_args, d, args_vocab), jnp.float32),
+            jax.ShapeDtypeStruct((n_args, args_vocab), jnp.float32),
         ),
         grid=(r // tile_rows,),
         in_specs=[
             pl.BlockSpec((tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            _full_spec(wa.shape),
-            _full_spec((1, ba.shape[0])),
+            _full_spec(wa3.shape),
+            _full_spec(ba2.shape),
             pl.BlockSpec((tile_rows, n_args), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_rows, n_args), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            _full_spec((d, k)),
-            _full_spec((1, k)),
+            _full_spec((n_args, d, args_vocab)),
+            _full_spec((n_args, args_vocab)),
         ),
         interpret=interpret,
-    )(y, wa, ba.reshape(1, -1), targets, g)
-    return dy, dwa.astype(wa.dtype), dba.reshape(-1).astype(ba.dtype)
+    )(y, wa3, ba2, targets, g)
+    dwa = dwa3.transpose(1, 0, 2).reshape(d, k)
+    return dy, dwa.astype(wa.dtype), dba2.reshape(-1).astype(ba.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -236,6 +256,7 @@ def args_ce_pairwise(y, wa, ba, targets, n_variants: int,
         yf = jnp.pad(yf, ((0, pad), (0, 0)))
         tf = jnp.pad(tf, ((0, pad), (0, 0)))
     interp = interpret or jax.default_backend() == "cpu"
+    wa3, ba2 = _stack_slots(wa, ba, n_args)
     kernel = functools.partial(
         _pairwise_kernel, n_args=n_args, args_vocab=args_vocab,
         tile_rows=tile_rows, n_variants=n_variants,
@@ -247,12 +268,12 @@ def args_ce_pairwise(y, wa, ba, targets, n_variants: int,
         grid=(rp // tile_rows,),
         in_specs=[
             pl.BlockSpec((tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            _full_spec(wa.shape),
-            _full_spec((1, ba.shape[0])),
+            _full_spec(wa3.shape),
+            _full_spec(ba2.shape),
             pl.BlockSpec((tile_rows, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_rows, k), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interp,
-    )(yf, wa, ba.reshape(1, -1), tf)
+    )(yf, wa3, ba2, tf)
     return ce[:r].reshape(tuple(lead) + (k,))

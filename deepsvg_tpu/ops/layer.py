@@ -70,7 +70,11 @@ def _attention_block(xn, wqkv_ref, bqkv_ref, wo_ref, bo_ref, mask_ref,
             # stay exp(-inf) = 0.
             scores = jnp.clip(scores, -75.0, 75.0) + big_mask
             exp = jnp.exp(scores)
-            p = (exp / jnp.sum(exp, axis=-1, keepdims=True)).astype(xn.dtype)
+            # guard the all-masked-row 0/0 (happens only for alignment-pad
+            # rows, whose outputs are sliced away): any row with >= 1 valid
+            # key has sum >= exp(-75) >> 1e-30, so this is exact elsewhere
+            den = jnp.maximum(jnp.sum(exp, axis=-1, keepdims=True), 1e-30)
+            p = (exp / den).astype(xn.dtype)
             ctx_heads.append(
                 jnp.dot(p, v, preferred_element_type=jnp.float32).astype(xn.dtype)
             )

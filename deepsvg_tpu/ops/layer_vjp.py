@@ -121,7 +121,12 @@ def _attn_fwd_head(qkv, big_mask, h, d_model, head_dim, scale, r0=0,
     scores = scores + big_mask
     m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), -1e30)
     exp = jnp.exp(scores - m)
-    p = exp / jnp.sum(exp, axis=-1, keepdims=True)
+    # all-masked rows (alignment padding; outputs sliced away, cotangents
+    # zero) would hit 0/0 here — the guard makes them exact zeros instead of
+    # NaN. Rows with any valid key have sum >= exp(0) = 1 after the max
+    # subtraction, so the guard is inert for real rows (bit-exact).
+    den = jnp.maximum(jnp.sum(exp, axis=-1, keepdims=True), 1e-30)
+    p = exp / den
     return q, k, v, p
 
 
