@@ -176,7 +176,20 @@ def our_tensors(workdir: str, ids: list[str]):
     return out
 
 
-def train_torch(batch, steps: int, log_every: int = 1):
+VARIANTS = {
+    # kwargs applied on BOTH sides on top of the two-stage one-shot base.
+    # All variants run use_vae=False for curve determinism (the reference
+    # samples its VAE with torch RNG, ours with jax RNG — bit-matched curves
+    # are impossible with sampling on; the VAE head itself has transplant
+    # parity tests in tests/test_torch_parity_variants.py).
+    "flagship": {},                                    # hierarchical_ordered
+    "selfmatch": {"self_match": True},                 # HierarchicalSelfMatching
+    "fonts": {"label_condition": True, "dim_z": 128},  # hierarchical_ordered_fonts
+}
+
+
+def train_torch(batch, steps: int, log_every: int = 1,
+                variant: str = "flagship"):
     """Reference training loop (train.py:77-135) on a fixed batch; returns
     (curve, recorded per-step lr, initial state_dict)."""
     import numpy as np
@@ -199,6 +212,9 @@ def train_torch(batch, steps: int, log_every: int = 1):
     cfg = Hierarchical()
     cfg.use_vae = False
     cfg.dropout = 0.0
+    for k, v in VARIANTS[variant].items():
+        assert hasattr(cfg, k), k
+        setattr(cfg, k, v)
     torch.manual_seed(42)
     model = SVGTransformer(cfg).train()
     # cfg.dropout=0 does not reach the hard-coded p=0.1 dropout inside
@@ -220,12 +236,15 @@ def train_torch(batch, steps: int, log_every: int = 1):
 
     tc = torch.tensor(batch["commands"])
     ta = torch.tensor(batch["args"])
+    targs = [tc, ta, tc, ta]
+    if cfg.label_condition:
+        targs.append(torch.tensor(batch["label"]))
     curve, lrs = [], []
     for step in range(steps):
         lr_now = opt.param_groups[0]["lr"]
         lrs.append(lr_now)
         opt.zero_grad()
-        out = model(tc, ta, tc, ta)
+        out = model(*targs)
         loss_dict = loss_fn(out, None, WEIGHTS)
         loss_dict["loss"].backward()
         torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
@@ -240,9 +259,18 @@ def train_torch(batch, steps: int, log_every: int = 1):
     return curve, lrs, init_sd, final_sd
 
 
-def train_jax(batch, steps: int, lrs, init_sd):
+def train_jax(batch, steps: int, lrs, init_sd, impl: str = "xla",
+              dtype: str = "float32", resident_k: int = 0,
+              variant: str = "flagship"):
     """This framework's jitted train step from the transplanted torch init,
-    replaying the recorded torch lr sequence exactly."""
+    replaying the recorded torch lr sequence exactly.
+
+    ``impl``/``dtype``/``resident_k`` select the execution path: the default
+    (xla, float32, streaming) is the determinism-floor comparison; the
+    PRODUCTION path (pallas, bfloat16, resident_k>0) is the shipped flagship
+    composition — whole-layer fused VJPs + fused softmax-CE head +
+    device-resident data gathered on device inside a K-step lax.scan
+    (models/config.py hierarchical_ordered profile + data/resident.py)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -251,12 +279,17 @@ def train_jax(batch, steps: int, lrs, init_sd):
     from deepsvg_tpu.models import ModelConfig, SVGTransformer
     from deepsvg_tpu.models.torch_import import state_dict_to_params
     from deepsvg_tpu.training.trainer import (
-        TrainState, jit_train_step, make_optimizer)
+        TrainState, jit_train_resident_multi_step, jit_train_step,
+        make_optimizer)
 
     cfg = ModelConfig(encode_stages=2, decode_stages=2, use_vae=False,
-                      dropout=0.0)
+                      dropout=0.0, attention_impl=impl, compute_dtype=dtype,
+                      **VARIANTS[variant])
     model = SVGTransformer(cfg)
     params = jax.tree.map(np.array, state_dict_to_params(init_sd, cfg))
+    model_args = ["commands", "args", "commands", "args"]
+    if cfg.label_condition:
+        model_args.append("label")
 
     lr_table = jnp.asarray(np.asarray(lrs, np.float32))
     optimizer = make_optimizer(
@@ -265,17 +298,37 @@ def train_jax(batch, steps: int, lrs, init_sd):
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=optimizer.init(params),
                        rng=jax.random.PRNGKey(0))
-    step_fn = jit_train_step(model, optimizer,
-                             ["commands", "args", "commands", "args"],
-                             donate=False)
-    jb = {"commands": jnp.asarray(batch["commands"]),
-          "args": jnp.asarray(batch["args"])}
     weights = {k: jnp.asarray(v, jnp.float32) for k, v in WEIGHTS.items()}
+    keys = ("loss", "loss_cmd", "loss_args", "loss_visibility")
     curve = []
+
+    if resident_k > 0:
+        # production dispatch: wire-compressed corpus resident on device,
+        # [K, B] indices the only per-dispatch transfer (full-batch corpus:
+        # every step gathers all icons, preserving the torch schedule)
+        from deepsvg_tpu.data.loader import compress_batch
+
+        data = {k: jnp.asarray(v) for k, v in compress_batch(
+            {k: batch[k] for k in model_args if k in batch}).items()}
+        n = batch["commands"].shape[0]
+        step_fn = jit_train_resident_multi_step(
+            model, optimizer, model_args,
+            weights_fn=lambda s: weights, n_augs=1, donate=False)
+        idx = jnp.tile(jnp.arange(n, dtype=jnp.int32), (resident_k, 1))
+        for d0 in range(0, steps, resident_k):
+            k_eff = min(resident_k, steps - d0)
+            state, res = step_fn(state, data, idx[:k_eff])
+            for i in range(k_eff):
+                curve.append({k: float(res[k][i]) for k in keys})
+            if d0 % 50 < resident_k:
+                print(f"  jax step {d0}: loss={curve[-1]['loss']:.4f}")
+        return curve
+
+    step_fn = jit_train_step(model, optimizer, model_args, donate=False)
+    jb = {k: jnp.asarray(batch[k]) for k in set(model_args) if k in batch}
     for step in range(steps):
         state, res = step_fn(state, jb, weights)
-        curve.append({k: float(res[k]) for k in
-                      ("loss", "loss_cmd", "loss_args", "loss_visibility")})
+        curve.append({k: float(res[k]) for k in keys})
         if step % 50 == 0:
             print(f"  jax step {step}: loss={curve[-1]['loss']:.4f}")
     return curve
@@ -303,10 +356,25 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--workdir", default="/tmp/parity_corpus")
     ap.add_argument("--out", default="docs/parity_curve_real.json")
+    ap.add_argument("--variant", default="flagship",
+                    choices=sorted(VARIANTS))
+    ap.add_argument("--impl", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--resident-k", type=int, default=0,
+                    help="K>0: device-resident data + K-step scan dispatch "
+                         "(the production path)")
+    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"],
+                    help="tpu = leave the ambient axon TPU backend in place "
+                         "for the jax side (torch always runs on CPU)")
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
     load_reference()
     import numpy as np
@@ -335,22 +403,37 @@ def main():
         "commands": np.stack([ref_t[i]["commands"] for i in ids]).astype(np.int64),
         "args": np.stack([ref_t[i]["args"] for i in ids]).astype(np.float32),
     }
+    if args.variant == "fonts":
+        # label-conditioned variant: the icon id IS the class (both sides
+        # consume the identical labels — what matters for parity is the
+        # label-injection machinery, reference improved_transformer.py:47-49)
+        batch["label"] = np.arange(len(ids), dtype=np.int64)
     print(f"  batch: commands {batch['commands'].shape}, args {batch['args'].shape}")
 
-    print(f"[3/4] training torch reference {args.steps} steps (CPU)")
+    print(f"[3/4] training torch reference {args.steps} steps (CPU, "
+          f"{args.variant})")
     t0 = time.time()
-    torch_curve, lrs, init_sd, _ = train_torch(batch, args.steps)
+    torch_curve, lrs, init_sd, _ = train_torch(batch, args.steps,
+                                               variant=args.variant)
     print(f"  done in {time.time()-t0:.0f}s")
 
-    print(f"[4/4] training deepsvg_tpu {args.steps} steps (CPU, same init/lr)")
+    print(f"[4/4] training deepsvg_tpu {args.steps} steps "
+          f"({args.device}/{args.impl}/{args.dtype}"
+          f"{f'/resident K={args.resident_k}' if args.resident_k else ''}, "
+          f"same init/lr)")
     t0 = time.time()
-    jax_curve = train_jax(batch, args.steps, lrs, init_sd)
+    jax_curve = train_jax(batch, args.steps, lrs, init_sd, impl=args.impl,
+                          dtype=args.dtype, resident_k=args.resident_k,
+                          variant=args.variant)
     print(f"  done in {time.time()-t0:.0f}s")
 
     report = compare(torch_curve, jax_curve)
     result = {
         "corpus": ids,
         "steps": args.steps,
+        "config": {"impl": args.impl, "dtype": args.dtype,
+                   "resident_k": args.resident_k, "device": args.device,
+                   "variant": args.variant},
         "tensor_equivalence": not mismatches,
         "tensor_mismatches": mismatches,
         "report": report,

@@ -70,6 +70,57 @@ class TestShortCurveParity:
             np.testing.assert_allclose(j, t, rtol=1e-4, atol=1e-5,
                                        err_msg=key)
 
+    @pytest.mark.parametrize("variant", ["selfmatch", "fonts"])
+    def test_variant_loss_curves_agree(self, corpus, variant):
+        """Real-data curve guards for the non-flagship variants (VERDICT r2
+        #5): HierarchicalSelfMatching exercises the pairwise-cost kernel +
+        target-permutation trick; fonts exercises label conditioning in every
+        block. 100-step artifacts: docs/parity_curve_{selfmatch,fonts}.json."""
+        import parity_real_data as P
+
+        workdir, ids = corpus
+        ref = P.reference_tensors(workdir, ids)
+        ids = ids[:6]
+        batch = {
+            "commands": np.stack([ref[i]["commands"] for i in ids]).astype(np.int64),
+            "args": np.stack([ref[i]["args"] for i in ids]).astype(np.float32),
+        }
+        if variant == "fonts":
+            batch["label"] = np.arange(len(ids), dtype=np.int64)
+        steps = 8
+        torch_curve, lrs, init_sd, _ = P.train_torch(batch, steps,
+                                                     variant=variant)
+        jax_curve = P.train_jax(batch, steps, lrs, init_sd, variant=variant)
+        for key in ("loss", "loss_cmd", "loss_args", "loss_visibility"):
+            t = np.asarray([c[key] for c in torch_curve])
+            j = np.asarray([c[key] for c in jax_curve])
+            np.testing.assert_allclose(j, t, rtol=1e-4, atol=1e-5,
+                                       err_msg=key)
+
+    def test_production_composition_short(self, corpus):
+        """The SHIPPED flagship execution path — Pallas fused layer VJPs +
+        fused softmax-CE head, bfloat16, device-resident data inside a K-step
+        scan — trains the SAME real-data curve as the torch reference within
+        a bf16 tolerance (Pallas interpret-mode on CPU; the 300-step on-chip
+        artifact is docs/PARITY_CURVE_CHIP.md)."""
+        workdir, ids = corpus
+        ref = P.reference_tensors(workdir, ids)
+        ids = ids[:4]  # interpret-mode is slow; 4 icons x 4 steps suffices
+        batch = {
+            "commands": np.stack([ref[i]["commands"] for i in ids]).astype(np.int64),
+            "args": np.stack([ref[i]["args"] for i in ids]).astype(np.float32),
+        }
+        steps = 4
+        torch_curve, lrs, init_sd, _ = P.train_torch(batch, steps)
+        jax_curve = P.train_jax(batch, steps, lrs, init_sd, impl="pallas",
+                                dtype="bfloat16", resident_k=2)
+        for key in ("loss", "loss_cmd", "loss_args", "loss_visibility"):
+            t = np.asarray([c[key] for c in torch_curve])
+            j = np.asarray([c[key] for c in jax_curve])
+            # bf16 forward floor (~3 decimal digits) + a few compounding steps
+            np.testing.assert_allclose(j, t, rtol=2e-2, atol=2e-3,
+                                       err_msg=key)
+
 
 class TestCheckpointImportAgainstTrainedTorch:
     def test_locally_trained_reference_checkpoint_loads_and_decodes(
