@@ -155,13 +155,18 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
             and getattr(cfg, "device_resident", "auto")):
         from ..data.resident import build_resident_arrays
 
+        import time as _time
+
+        _t0 = _time.time()
         built = build_resident_arrays(
             dataset, model_args,
             max_bytes=getattr(cfg, "device_resident_max_bytes", 4 << 30),
             num_workers=cfg.loader_num_workers,
         )
+        _t_build = _time.time() - _t0
         if built is not None:
             data_host, n_icons, n_augs = built
+            _t0 = _time.time()
             if mesh is not None:
                 # replicate the corpus on every chip: each DP shard gathers
                 # its rows locally, no cross-chip data movement per step
@@ -170,11 +175,21 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
                 data_dev = jax.device_put(data_host, replicated(mesh))
             else:
                 data_dev = jax.device_put(data_host)
+            jax.block_until_ready(data_dev)
+            _t_upload = _time.time() - _t0
             if raw_k in (None, 1):
                 # un-tuned K: amortize the per-dispatch RPC over 8 steps
                 K = 8
-            # never overshoot an explicit step budget (incl. after resume):
-            # K becomes the largest divisor of the remaining budget <= K
+            # never a full epoch: _resident_idx_chunks yields
+            # floor(batches/K) dispatches per epoch, so K > batches-per-epoch
+            # would yield NONE and the loop would spin through every epoch
+            # without training a single step
+            n_batches_epoch = max(len(dataset) // cfg.batch_size, 1)
+            K = max(min(K, n_batches_epoch), 1)
+            # ... and never overshoot an explicit step budget (incl. after
+            # resume): K becomes the largest divisor of the remaining budget
+            # <= K (this must run AFTER the epoch clamp — a clamp afterwards
+            # could break divisibility and re-introduce the overshoot)
             for budget in (max_steps, cfg.num_steps):
                 if budget is not None:
                     rem = max(budget - int(state.step), 1)
@@ -185,13 +200,20 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
             mb = sum(v.nbytes for v in data_host.values()) / 2**20
             print(f"device-resident dataset: {len(dataset)} items "
                   f"({n_augs} aug variants), {mb:.1f} MB in HBM, "
-                  f"K={K} steps/dispatch")
+                  f"K={K} steps/dispatch "
+                  f"[build {_t_build:.1f}s, upload {_t_upload:.1f}s, "
+                  f"{mb / max(_t_upload, 1e-9):.0f} MB/s]")
 
+    # K-step dispatch only observes step counts at multiples of K: round the
+    # cadences up LOCALLY. (Never mutate cfg — it serializes into checkpoints
+    # via to_dict, and a resumed run would silently inherit a cadence rounded
+    # for a K it is no longer using.)
+    log_every, val_every, ckpt_every = cfg.log_every, cfg.val_every, cfg.ckpt_every
     if K > 1:
-        for name in ("log_every", "val_every", "ckpt_every"):
-            v = getattr(cfg, name)
-            if v % K != 0:
-                setattr(cfg, name, max(v // K, 1) * K)
+        log_every, val_every, ckpt_every = (
+            v if v % K == 0 else max(v // K, 1) * K
+            for v in (log_every, val_every, ckpt_every)
+        )
 
     # In-graph weights whenever possible — even at K=1: passing python-float
     # weights per dispatch costs several tiny host->device transfers per
@@ -286,6 +308,13 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
                 stack_steps=stack,
             )
         for n_iter, batch_model in enumerate(device_batches):
+            # budget guard BEFORE dispatching: a resumed run whose budget is
+            # already met must not silently train extra steps (the post-run
+            # check below only stops AFTER the overshoot executed)
+            if ((cfg.num_steps is not None and step_host >= cfg.num_steps)
+                    or (max_steps is not None and step_host >= max_steps)):
+                done = True
+                break
             step = step_host + K
 
             if profile_steps is not None:
@@ -317,7 +346,7 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
             if max_steps is not None and step >= max_steps:
                 done = True
 
-            if step % cfg.log_every == 0:
+            if step % log_every == 0:
                 if stacked_res:
                     # res values are [K]-stacked; expose the window's last step
                     res = {k: v[-1] for k, v in res.items()}
@@ -328,19 +357,19 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
                 # whole 20-step window of compute
                 scalar_stats = _fetch_scalar_stats(res, weights,
                                                    lr_schedule(step))
-                scalar_stats["time"] = timer.get_elapsed_time() / cfg.log_every
+                scalar_stats["time"] = timer.get_elapsed_time() / log_every
                 stats.update("train", step, epoch, scalar_stats)
                 print(stats.get_summary("train"))
                 stats.write_tensorboard(summary_writer, "train")
 
-            if step % cfg.val_every == 0:
+            if step % val_every == 0:
                 timer.reset()
                 cfg.visualize(
                     model, {"params": state.params}, train_vars, step, epoch,
                     summary_writer, visualization_dir,
                 )
 
-            if not debug and step % cfg.ckpt_every == 0:
+            if not debug and step % ckpt_every == 0:
                 save_ckpt(checkpoint_dir, state, cfg, stats, train_vars)
 
             if done:
