@@ -10,8 +10,10 @@ tests/test_torch_parity.py, which routes its weight transplant through
 :func:`state_dict_to_params`.
 
 Supported: transformer models, one/two encode/decode stages, one-shot and
-autoregressive decoders, VAE or linear bottleneck, label conditioning.
-LSTM variants are not mapped (no published checkpoints exist for them).
+autoregressive decoders, VAE or linear bottleneck, label conditioning, and
+the LSTM variants (reference model/model.py:111 bidirectional encoder,
+:231-241 decoder + fc_hc initial state; no published checkpoints exist for
+them, but user-trained ones load).
 """
 from __future__ import annotations
 
@@ -37,8 +39,6 @@ def state_dict_to_params(sd: Dict[str, np.ndarray], cfg: ModelConfig) -> dict:
     ``[out, in]``); LayerNorms stack to the fused kernels' ``[2, D]``
     (scale, bias) layout."""
     sd = _strip_module_prefix(sd)
-    if cfg.model_type != "transformer":
-        raise NotImplementedError("LSTM checkpoints are not mapped")
 
     def ln(prefix):
         return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
@@ -98,11 +98,37 @@ def state_dict_to_params(sd: Dict[str, np.ndarray], cfg: ModelConfig) -> dict:
             "embedding": sd[f"{prefix}.label_embedding.weight"]
         }}
 
+    def lstm_cell(prefix, suffix=""):
+        """One torch ``nn.LSTM`` direction -> flax OptimizedLSTMCell params.
+        Torch packs gates row-wise as (i, f, g, o) in ``weight_ih/weight_hh``
+        ``[4H, *]`` with TWO bias vectors; flax keeps per-gate Dense pairs
+        ``i{g}`` (no bias) / ``h{g}`` (bias) with identical gate equations,
+        so the hidden-side bias absorbs ``bias_ih + bias_hh``."""
+        wih = sd[f"{prefix}.weight_ih_l0{suffix}"]
+        whh = sd[f"{prefix}.weight_hh_l0{suffix}"]
+        bias = sd[f"{prefix}.bias_ih_l0{suffix}"] + sd[f"{prefix}.bias_hh_l0{suffix}"]
+        h = whh.shape[1]
+        cell = {}
+        for gi, g in enumerate(("i", "f", "g", "o")):
+            rows = slice(gi * h, (gi + 1) * h)
+            cell[f"i{g}"] = {"kernel": wih[rows].T}
+            cell[f"h{g}"] = {"kernel": whh[rows].T, "bias": bias[rows]}
+        return cell
+
     params: dict = {}
 
     # --- encoder ---------------------------------------------------------
+    if cfg.model_type == "lstm":
+        # flax nn.RNN is a transform, not a scope: the cells sit directly
+        # under the LSTMEncoder as OptimizedLSTMCell_{0,1} (fwd, bwd)
+        enc_stack = {
+            "OptimizedLSTMCell_0": lstm_cell("encoder.encoder"),
+            "OptimizedLSTMCell_1": lstm_cell("encoder.encoder", "_reverse"),
+        }
+    else:
+        enc_stack = stack("encoder.encoder", cfg.n_layers, enc_layer)
     enc = {"embedding": svg_embedding("encoder.embedding"),
-           "encoder": stack("encoder.encoder", cfg.n_layers, enc_layer)}
+           "encoder": enc_stack}
     if cfg.encode_stages == 2:
         if "encoder.hierarchical_PE.pos_embed.weight" in sd:
             enc["hierarchical_PE"] = {
@@ -141,7 +167,11 @@ def state_dict_to_params(sd: Dict[str, np.ndarray], cfg: ModelConfig) -> dict:
         dec["embedding"] = svg_embedding("decoder.embedding")
     else:
         dec["embedding"] = const_embedding("decoder.embedding")
-    dec["decoder"] = stack("decoder.decoder", cfg.n_layers_decode, dec_layer)
+    if cfg.model_type == "lstm":
+        dec["decoder"] = {"fc_hc": dense("decoder.fc_hc"),
+                          "OptimizedLSTMCell_0": lstm_cell("decoder.decoder")}
+    else:
+        dec["decoder"] = stack("decoder.decoder", cfg.n_layers_decode, dec_layer)
     dec["fcn"] = {
         "command_kernel": sd["decoder.fcn.command_fcn.weight"].T,
         "command_bias": sd["decoder.fcn.command_fcn.bias"],

@@ -47,17 +47,37 @@ def make_optimizer(
     return opt
 
 
+def make_optimizers(
+    members: dict,
+    param_labels,
+) -> optax.GradientTransformation:
+    """The reference's multi-optimizer LIST hook (``cfg.make_optimizers`` +
+    per-optimizer ``optimizer_starts`` gating, reference train.py:91-112,
+    config.py:73-76) as ONE optax transformation: each ``members[label]`` is
+    either a ready ``GradientTransformation`` or a kwargs dict for
+    :func:`make_optimizer` (``lr_schedule`` / ``grad_clip`` / ``weight_decay``
+    / ``start_step``), applied to the parameters ``param_labels`` maps to that
+    label (a pytree of labels matching params, or ``callable(params) ->
+    labels`` — ``optax.multi_transform`` semantics). ``start_step`` reproduces
+    the reference's skip exactly: no update AND no state accumulation before
+    the start step. The combined transformation drops into the existing
+    single-optimizer ``TrainState``/``train_step`` unchanged."""
+    transforms = {}
+    for label, spec in members.items():
+        if isinstance(spec, dict):
+            spec = make_optimizer(**spec)
+        transforms[label] = spec
+    return optax.multi_transform(transforms, param_labels)
+
+
 def delayed_start(
     opt: optax.GradientTransformation, start_step: int
 ) -> optax.GradientTransformation:
     """Gate an optimizer to begin at ``start_step``: until then updates are
     zero AND the inner state (Adam moments, schedule counts) stays frozen —
     exactly the reference's ``if step >= optimizer_start`` skip
-    (train.py:97-106). The reference's multi-optimizer LIST hook
-    (``cfg.optimizer_starts``, config.py:55) is expressed in optax as
-    ``optax.multi_transform`` over parameter partitions with each member
-    wrapped in ``delayed_start`` — no shipped reference config uses more than
-    one optimizer, so only the gating primitive is provided here."""
+    (train.py:97-106). Used standalone (``cfg.optimizer_start``) or as the
+    per-member gate inside :func:`make_optimizers`."""
 
     def init(params):
         return (opt.init(params), jnp.zeros((), jnp.int32))

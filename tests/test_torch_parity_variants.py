@@ -378,3 +378,40 @@ class TestLargeProposalAssignment:
             _, ref = linear_sum_assignment(cost[i][:k])
             np.testing.assert_array_equal(got[i, :k], ref, err_msg=f"sample {i}")
             assert sorted(got[i].tolist()) == list(range(p))
+
+
+class TestLSTMImport:
+    """SketchRNN variant (reference model/config.py:63-72: LSTM, one-stage,
+    autoregressive, relative targets): weight transplant through the importer
+    — bidirectional encoder (model/model.py:111, last-valid-timestep readout
+    :138-148) and LSTM decoder with fc_hc initial state (:231-241)."""
+
+    def test_teacher_forced_logits_and_loss(self, pinned_mask):
+        tcfg = make_torch_cfg(model_type="lstm", encode_stages=1,
+                              decode_stages=1, use_vae=False,
+                              pred_mode="autoregressive", rel_targets=True)
+        jcfg = make_jax_cfg(model_type="lstm", encode_stages=1,
+                            decode_stages=1, use_vae=False,
+                            pred_mode="autoregressive", rel_targets=True)
+        torch.manual_seed(5)
+        tm = TorchSVGTransformer(tcfg).eval()
+        jm = SVGTransformer(jcfg)
+        params = transplant(tm, jcfg)
+
+        rng = np.random.default_rng(15)
+        b = full_batch(rng, jcfg)
+        ce, ae = b["commands_grouped"], b["args_grouped"]       # encoder: abs
+        cd, ad = b["commands_grouped"], b["args_rel_grouped"]   # decoder: rel
+        with torch.no_grad():
+            out_t = tm(torch.tensor(ce), torch.tensor(ae),
+                       torch.tensor(cd), torch.tensor(ad))
+            loss_t = TorchSVGLoss(tcfg)(out_t, None, WEIGHTS)
+        out_j = jm.apply({"params": params},
+                         jnp.asarray(ce), jnp.asarray(ae),
+                         jnp.asarray(cd), jnp.asarray(ad))
+        loss_j = svg_loss(out_j, WEIGHTS, jcfg)
+        assert_close(out_j["command_logits"], out_t["command_logits"], msg="cmd")
+        assert_close(out_j["args_logits"], out_t["args_logits"], msg="args")
+        for k in ("loss", "loss_cmd", "loss_args"):
+            np.testing.assert_allclose(float(loss_j[k]), float(loss_t[k]),
+                                       atol=1e-4, rtol=1e-4, err_msg=k)

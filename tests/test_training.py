@@ -218,6 +218,55 @@ class TestDelayedStart:
         np.testing.assert_allclose(np.asarray(updates["w"]),
                                    np.asarray(fresh_updates["w"]), rtol=1e-6)
 
+    def test_multi_optimizer_list_hook(self, rng):
+        """make_optimizers = the reference's multi-optimizer LIST with
+        per-optimizer optimizer_starts (train.py:91-112): parameter
+        partitions step under their own optimizer, the delayed partition
+        stays EXACTLY frozen until its start step, and the whole thing drives
+        the ordinary jitted train_step."""
+        import optax
+
+        from deepsvg_tpu.training.trainer import make_optimizers, train_step
+
+        cfg = tiny_cfg()
+        model = SVGTransformer(cfg)
+        model_args = cfg.get_model_args()
+        batch = device_batch(
+            generate_batch(rng, 4, cfg.max_num_groups, cfg.max_seq_len),
+            model_args)
+
+        def labels(params):
+            return {k: ("enc" if k == "encoder" else "rest")
+                    for k in params}
+
+        optimizer = make_optimizers(
+            {
+                "enc": dict(lr_schedule=optax.constant_schedule(1e-3),
+                            start_step=2),
+                "rest": dict(lr_schedule=optax.constant_schedule(1e-3)),
+            },
+            labels,
+        )
+        state = create_train_state(model, optimizer, batch, model_args)
+        enc0 = jax.tree.map(np.asarray, state.params["encoder"])
+        dec0 = jax.tree.map(np.asarray, state.params["decoder"])
+
+        def diff(a, b):
+            return max(float(jnp.abs(x - jnp.asarray(y)).max())
+                       for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+        for step in range(2):  # encoder frozen, rest training
+            state, _ = train_step(state, batch, WEIGHTS, model, optimizer,
+                                  model_args)
+            assert diff(state.params["encoder"], enc0) == 0.0, step
+        assert diff(state.params["decoder"], dec0) > 0.0
+        dec_after_2 = jax.tree.map(np.asarray, state.params["decoder"])
+
+        state, _ = train_step(state, batch, WEIGHTS, model, optimizer,
+                              model_args)  # step 2: encoder starts
+        assert diff(state.params["encoder"], enc0) > 0.0
+        assert diff(state.params["decoder"], dec_after_2) > 0.0
+
 
 class TestMultiStepDispatch:
     def test_k_steps_equal_k_single_steps(self, rng):
