@@ -388,6 +388,101 @@ class Config(TrainConfig):
         ckpt_dir = tmp_path / "logs" / "models" / "cfgs" / "tiny"
         assert latest_ckpt(str(ckpt_dir)) is not None
 
+    def test_train_cli_mesh_resume(self, tmp_path):
+        """The real CLI on a virtual 8-device mesh with a mid-run checkpoint
+        and --resume: restoring replicated state under a shard_map'd step
+        (reference semantics: train.py:60-65 + nn.DataParallel wrap at :74).
+        The second invocation must pick up the latest checkpoint, replicate
+        it over the mesh and continue to the step budget."""
+        import pickle
+        import subprocess
+        import sys
+
+        import pandas as pd
+
+        from deepsvg_tpu.data.synthetic import _random_path
+
+        data_dir = tmp_path / "tensors"; data_dir.mkdir()
+        rng = np.random.default_rng(0)
+        rows = []
+        for i in range(16):
+            t = _random_path(rng, 5)
+            with open(data_dir / f"i{i}.pkl", "wb") as f:
+                pickle.dump({"tensors": [t], "fillings": [0]}, f)
+            rows.append({"id": f"i{i}", "total_len": 6, "nb_groups": 1,
+                         "max_len_group": 6})
+        meta = tmp_path / "meta.csv"
+        pd.DataFrame(rows).to_csv(meta, index=False)
+
+        cfg_dir = tmp_path / "cfgs"; cfg_dir.mkdir()
+        (cfg_dir / "__init__.py").write_text("")
+        (cfg_dir / "tiny8.py").write_text(f'''
+from deepsvg_tpu.models.config import ModelConfig
+from deepsvg_tpu.training.config import TrainConfig
+
+class Config(TrainConfig):
+    def __init__(self, num_devices=8):        # DP over the 8-device mesh
+        super().__init__(num_devices)
+        self.model_cfg = ModelConfig(
+            encode_stages=2, decode_stages=2, use_vae=False,
+            max_num_groups=2, max_seq_len=6, d_model=32, dim_feedforward=64,
+            dim_z=16, n_layers=1, n_layers_decode=1, n_heads=4, dropout=0.0)
+        self.model_args = self.model_cfg.get_model_args()
+        self.data_dir = {str(data_dir)!r}
+        self.meta_filepath = {str(meta)!r}
+        self.max_num_groups = 2
+        self.max_seq_len = 6
+        self.batch_size = 8
+        self.num_steps = None          # budget via --max-steps (an argument,
+        self.num_epochs = 100          # NOT clobbered by the resume cfg
+        self.log_every = 1             # restore — reference semantics)
+        self.val_every = 1000
+        self.ckpt_every = 2
+        self.warmup_steps = 1
+        self.loader_num_workers = 1
+
+    def get_weights(self, step, epoch):
+        return {{"kl_tolerance": 0.1, "loss_kl_weight": 1.0,
+                "loss_visibility_weight": 1.0, "loss_cmd_weight": 1.0,
+                "loss_args_weight": 2.0}}
+''')
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8").strip()
+        env["PYTHONPATH"] = f"{tmp_path}:/root/repo:" + env.get("PYTHONPATH", "")
+
+        def run(extra_argv):
+            runner = tmp_path / "run.py"
+            runner.write_text(
+                "import jax\n"
+                "jax.config.update('jax_platforms', 'cpu')\n"
+                "import sys\n"
+                "from deepsvg_tpu.training.train import main\n"
+                "sys.argv = ['train', '--config-module', 'cfgs.tiny8',\n"
+                f"            '--log-dir', {str(tmp_path / 'logs')!r}"
+                f"{extra_argv}]\n"
+                "main()\n"
+            )
+            return subprocess.run(
+                [sys.executable, str(runner)], env=env, capture_output=True,
+                text=True, timeout=600,
+            )
+
+        out = run(", '--max-steps', '3'")
+        assert out.returncode == 0, out.stderr[-2000:]
+        from deepsvg_tpu.training.checkpoint import latest_ckpt
+
+        ckpt_dir = tmp_path / "logs" / "models" / "cfgs" / "tiny8"
+        first = latest_ckpt(str(ckpt_dir))
+        assert first is not None and first.endswith("000003.ckpt"), first
+
+        out2 = run(", '--resume', '--max-steps', '5'")
+        assert out2.returncode == 0, out2.stderr[-2000:]
+        assert "Resuming model at step 3" in out2.stdout
+        last = latest_ckpt(str(ckpt_dir))
+        assert last is not None and last.endswith("000005.ckpt"), last
+
 
 class TestWireFormat:
     """Narrow-integer wire format for host->device transfer (loader.py
