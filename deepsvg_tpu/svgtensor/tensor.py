@@ -60,7 +60,9 @@ def cmd_args_to_data14(commands: np.ndarray, args: np.ndarray) -> np.ndarray:
     """Inverse of :func:`data14_to_cmd_args`; recomputes start positions by
     chaining end positions (difflib/tensor.py:75-82 ``start_pos`` property)."""
     commands = np.asarray(commands, dtype=np.float32).reshape(-1, 1)
-    args = np.asarray(args, dtype=np.float32)
+    args = np.asarray(args, dtype=np.float32).reshape(-1, N_ARGS)
+    if len(commands) == 0:  # e.g. an untrained model sampling zero commands
+        return np.zeros((0, 14), np.float32)
     end_pos = args[:, IndexArgs.END_POS]
     start_pos = np.concatenate([np.zeros((1, 2), np.float32), end_pos[:-1]], axis=0)
     return np.concatenate(

@@ -54,7 +54,8 @@ def main():
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
     lr = 10.0
-    for step in range(300):
+    n_steps = int(os.environ.get("DEEPSVG_EXAMPLE_STEPS", "300"))
+    for step in range(n_steps):
         loss, g = grad_fn(args)
         args = args - lr * g
         if step % 50 == 0:

@@ -86,4 +86,4 @@ def main(steps=300):
 
 
 if __name__ == "__main__":
-    main()
+    main(steps=int(os.environ.get("DEEPSVG_EXAMPLE_STEPS", "300")))

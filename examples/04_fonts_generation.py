@@ -89,4 +89,4 @@ def main(steps=200):
 
 
 if __name__ == "__main__":
-    main()
+    main(steps=int(os.environ.get("DEEPSVG_EXAMPLE_STEPS", "200")))
