@@ -58,7 +58,10 @@ def compress_batch(batch: dict) -> dict:
     for k, v in batch.items():
         ck = _MASKED_ARGS_WIRE.get(k)
         if ck is not None and ck in batch:
-            out[k] = np.maximum(v, 0).astype(np.uint8)
+            # already on the wire (e.g. a corpus materialized straight into
+            # wire dtypes): skip the multi-GB copy
+            out[k] = (v if v.dtype == np.uint8
+                      else np.maximum(v, 0).astype(np.uint8))
             continue
         w = _WIRE_DTYPES.get(k)
         out[k] = v.astype(w) if (w is not None and v.dtype != w) else v

@@ -81,8 +81,13 @@ def build_resident_arrays(dataset, model_args, max_bytes: int | None = None,
         if est is None or est > max_bytes:
             return None
 
+    gva = getattr(dataset, "get_variant_arrays", None)
     fast = getattr(dataset, "get_batch_arrays", None)
-    if fast is not None and n_augs == 1:
+    if gva is not None:
+        # columnar variant fast path: the dataset serves the whole flat
+        # (icon, aug) corpus as one array per key — no per-item python
+        data = {k: v for k, v in gva(model_args).items() if k in keys}
+    elif fast is not None and n_augs == 1:
         cols = fast(np.arange(n_items))
         data = {k: v for k, v in cols.items() if k in keys}
     else:

@@ -60,6 +60,16 @@ class ModelConfig:
     # custom-VJP training kernels with in-kernel dropout; interpret-mode on
     # CPU). See ops/layer.py, ops/layer_vjp.py.
     attention_impl: str = "xla"
+    # backend override for the HIERARCHICAL (stage-2) stacks, whose
+    # sequences are G=8-token-tiny: their per-layer FLOPs are ~1/30 of the
+    # big stages', so Pallas kernel-launch overhead can dominate and the
+    # plain XLA lowering wins (measured; see PERFORMANCE.md round 3).
+    # None = follow attention_impl.
+    attention_impl_hierarchical: str | None = None
+
+    @property
+    def attn_impl_hier(self) -> str:
+        return self.attention_impl_hierarchical or self.attention_impl
 
     @property
     def max_total_len(self) -> int:

@@ -270,7 +270,7 @@ class Encoder(nn.Module):
             l2 = label_emb[:, None, :] if label_emb is not None else None
             memory2 = EncoderStack(
                 cfg.n_layers, cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
-                cfg.dropout, cfg.label_condition, dtype, cfg.attention_impl,
+                cfg.dropout, cfg.label_condition, dtype, cfg.attn_impl_hier,
                 name="hierarchical_encoder",
             )(src2, key_pad=key_padding_to_additive(key_vis), label_emb=l2,
               deterministic=deterministic)
@@ -318,7 +318,7 @@ class Decoder(nn.Module):
             )
             out = DecoderStack(
                 cfg.n_layers_decode, cfg.d_model, cfg.n_heads, cfg.dim_feedforward,
-                cfg.dropout, cfg.label_condition, dtype, cfg.attention_impl,
+                cfg.dropout, cfg.label_condition, dtype, cfg.attn_impl_hier,
                 name="hierarchical_decoder",
             )(src, z[:, None, :], label_emb=l2, deterministic=deterministic)
             hierarch_logits, z_groups = HierarchFCN(

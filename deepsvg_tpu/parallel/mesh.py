@@ -134,7 +134,8 @@ def make_parallel_multi_step(model, optimizer, model_args, mesh: Mesh,
 def make_parallel_resident_multi_step(model, optimizer, model_args,
                                       mesh: Mesh, weights_fn,
                                       n_augs: int = 1,
-                                      data_axis: str = "data"):
+                                      data_axis: str = "data",
+                                      item_shapes: dict | None = None):
     """Data-parallel device-resident training (data/resident.py × DP): the
     wire-compressed dataset is REPLICATED on every chip (a few GB — well
     inside a chip's HBM next to the ~10M-param model), each shard gathers
@@ -142,7 +143,10 @@ def make_parallel_resident_multi_step(model, optimizer, model_args,
     scan per dispatch. Only the ``[K, B]`` icon indices cross the host
     boundary, sharded over ``data`` on their batch axis — the steady state
     needs no host bandwidth at all, on ANY number of chips. Augmentation
-    choice is drawn on device per (step, shard, item)."""
+    choice is drawn on device per (step, shard, item). ``item_shapes``:
+    rows arrive FLATTENED ``[M, prod(shape)]`` and reshape after the gather
+    (the lane-padding repack otherwise costs a corpus-sized temp — see
+    trainer.jit_train_resident_multi_step)."""
     import jax.numpy as jnp
 
     from functools import partial
@@ -161,6 +165,9 @@ def make_parallel_resident_multi_step(model, optimizer, model_args,
         else:
             flat = idx
         batch = {k: jnp.take(v, flat, axis=0) for k, v in data.items()}
+        if item_shapes:
+            batch = {k: v.reshape(v.shape[:1] + tuple(item_shapes[k]))
+                     for k, v in batch.items()}
         return fn(st, batch, w)
 
     def one(state, data, idx, weights):

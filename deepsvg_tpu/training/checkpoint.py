@@ -21,6 +21,18 @@ def _ckpt_path(checkpoint_dir: str, step: int) -> str:
     return os.path.join(checkpoint_dir, f"{step:06d}.ckpt")
 
 
+def _jsonable(v):
+    """JSON fallback for train_vars content (the reference pickles train_vars
+    wholesale via torch.save; here arbitrary arrays degrade to nested lists —
+    the visualize hooks re-``np.asarray`` their inputs, so a restored run
+    behaves identically)."""
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, np.generic):
+        return v.item()
+    return repr(v)
+
+
 def save_ckpt(
     checkpoint_dir: str,
     state,
@@ -43,7 +55,8 @@ def save_ckpt(
                 "cfg": cfg.to_dict() if cfg is not None else None,
                 "stats": stats.to_dict() if stats is not None else None,
                 "train_vars": train_vars.to_dict() if train_vars is not None else None,
-            }
+            },
+            default=_jsonable,
         ).encode(),
     }
 

@@ -166,6 +166,13 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
         _t_build = _time.time() - _t0
         if built is not None:
             data_host, n_icons, n_augs = built
+            # residency layout: flatten item dims to ONE lane-aligned row —
+            # a narrow minor dim (args' 11) would be padded to 128 lanes and
+            # the gather would repack the whole corpus into a ~6x temp
+            # (compile-time OOM at 100k-corpus scale, measured)
+            item_shapes = {k: v.shape[1:] for k, v in data_host.items()}
+            data_host = {k: v.reshape(len(v), -1)
+                         for k, v in data_host.items()}
             _t0 = _time.time()
             if mesh is not None:
                 # replicate the corpus on every chip: each DP shard gathers
@@ -225,13 +232,13 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
 
             _resident_fn = make_parallel_resident_multi_step(
                 model, optimizer, model_args, mesh, weights_fn=weights_fn,
-                n_augs=n_augs)
+                n_augs=n_augs, item_shapes=item_shapes)
         else:
             from .trainer import jit_train_resident_multi_step
 
             _resident_fn = jit_train_resident_multi_step(
                 model, optimizer, model_args, weights_fn=weights_fn,
-                n_augs=n_augs)
+                n_augs=n_augs, item_shapes=item_shapes)
 
         def step_fn(st, b, _f=_resident_fn, _d=data_dev):
             return _f(st, _d, b["idx"])

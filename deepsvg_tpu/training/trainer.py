@@ -223,13 +223,21 @@ def jit_train_multi_step(model, optimizer, model_args, weights_fn,
 
 
 def jit_train_resident_multi_step(model, optimizer, model_args, weights_fn,
-                                  n_augs: int = 1, donate: bool = True):
+                                  n_augs: int = 1, donate: bool = True,
+                                  item_shapes: dict | None = None):
     """K training steps per dispatch gathering batches ON DEVICE from a
     resident dataset (data/resident.py).
 
     ``data`` is the full wire-compressed dataset ``{k: [M, ...]}`` living in
     HBM (``M = n_icons * n_augs``); ``icon_idx [K, B]`` carries each step's
     icon indices — the only per-dispatch host->device transfer (a few KB).
+    ``item_shapes`` (``{k: trailing_shape}``) means ``data`` rows were
+    FLATTENED to ``[M, prod(shape)]`` for residency — mandatory at corpus
+    scale: TPU memory tiling pads a narrow minor dim (args' 11) to the
+    128-lane register width, and XLA materializes that repack as a
+    corpus-sized temp (measured 5.8x for the [M, 8, 32, 11] uint8 corpus —
+    an instant OOM at 100k x 10 variants). A [M, 2816] row layout gathers
+    with ZERO temp; the batch is reshaped after the gather.
     With ``n_augs > 1`` the augmentation variant is drawn per (step, item)
     from a step-seeded on-device key, reproducing the reference's
     uniform-per-access choice (svgtensor_dataset.py:156) without the host in
@@ -244,6 +252,9 @@ def jit_train_resident_multi_step(model, optimizer, model_args, weights_fn,
             else:
                 flat = idx
             batch = {k: jnp.take(v, flat, axis=0) for k, v in data.items()}
+            if item_shapes:
+                batch = {k: v.reshape(v.shape[:1] + tuple(item_shapes[k]))
+                         for k, v in batch.items()}
             w = weights_fn(st.step)
             st, res = train_step(st, batch, w, model=model,
                                  optimizer=optimizer, model_args=model_args)

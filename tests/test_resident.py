@@ -85,6 +85,66 @@ class TestBuild:
                     data["commands"][icon * 3 + aug], item["commands"])
 
 
+class TestAugmentedCorpus:
+    """SyntheticAugmentedCorpus — the icons_tensor-100k scale-rehearsal
+    stand-in (scripts/scale_rehearsal.py): vectorized generation must be
+    item-for-item identical to the per-item getter path, honor the packed
+    wire contract, and serve the resident columnar fast path."""
+
+    def test_columnar_fast_path_matches_per_item(self):
+        from deepsvg_tpu.data.loader import collate, compress_batch
+        from deepsvg_tpu.data.resident import _resident_spec
+        from deepsvg_tpu.data.synthetic import SyntheticAugmentedCorpus
+
+        ds = SyntheticAugmentedCorpus(40, n_augs=3, seed=9)
+        assert len(ds) == 120 and ds.nb_augmentations == 3
+        built = build_resident_arrays(ds, ["commands", "args"])
+        assert built is not None
+        data, n_icons, n_augs = built
+        assert (n_icons, n_augs) == (40, 3)
+        assert data["commands"].dtype == np.int8
+        assert data["args"].dtype == np.uint8
+
+        n_items, _, getter = _resident_spec(ds)
+        assert n_items == 120
+        idx = np.random.default_rng(0).integers(0, n_items, 20)
+        ref = compress_batch(collate([getter(int(i)) for i in idx]))
+        for k in data:
+            np.testing.assert_array_equal(data[k][idx], ref[k], err_msg=k)
+
+    def test_wire_and_budget_invariants(self):
+        from deepsvg_tpu.data.synthetic import SyntheticAugmentedCorpus
+        from deepsvg_tpu.svgtensor.constants import (
+            CMD_ARGS_MASK_NP, CMD_EOS, CMD_SOS)
+
+        ds = SyntheticAugmentedCorpus(30, n_augs=2, seed=5, max_total_len=50)
+        item = ds.get_item_aug(7, 1)
+        mask = CMD_ARGS_MASK_NP[item["commands"]].astype(bool)
+        assert (item["args"][~mask] == -1).all()
+        assert (item["args"][mask] >= 0).all()
+        assert (item["args"][mask] <= 255).all()
+
+        data, _, _ = build_resident_arrays(ds, ["commands", "args"])
+        real = ((data["commands"] != CMD_EOS)
+                & (data["commands"] != CMD_SOS)).reshape(len(ds), -1).sum(1)
+        assert real.max() <= 50 and real.min() >= 3
+        # aug 0 is the identity variant
+        np.testing.assert_array_equal(
+            np.maximum(ds.get_item_aug(3, 0)["args"], 0),
+            np.maximum(ds._args[3], 0))
+
+    def test_dataset_surface(self):
+        from deepsvg_tpu.data.synthetic import SyntheticAugmentedCorpus
+
+        ds = SyntheticAugmentedCorpus(10, n_augs=2, seed=1)
+        g = ds.get(3, ["commands", "args", "tensor"])
+        assert g["tensor"] and all(t.shape[1] == 14 for t in g["tensor"])
+        b = ds.get_batch_arrays(np.arange(25))  # flat idx wraps: idx % n_icons
+        assert b["commands"].shape[0] == 25
+        item = ds[13]
+        assert set(item) == {"commands", "args"}
+
+
 class TestEpochOrder:
     def test_permutation_matches_dataloader(self):
         """Same epoch number -> identical batch membership and order as the

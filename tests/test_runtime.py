@@ -182,6 +182,30 @@ class TestCheckpoint:
         for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_train_vars_with_arrays(self, tmp_path):
+        """The flagship config's set_train_vars stores numpy model-arg arrays
+        in train_vars (default_icons.py); save_ckpt must serialize them
+        (caught live by the scale rehearsal: the first flagship-config
+        checkpoint save crashed json.dumps on ndarray)."""
+        from deepsvg_tpu.training.stats import TrainVars
+
+        cfg, state = self._make_state()
+        tv = TrainVars()
+        tv.x_inputs_train = [
+            {"commands": np.zeros((2, 8), np.int32),
+             "args": np.zeros((2, 8, 11), np.float32),
+             "tensor": [np.zeros((3, 14), np.float32)],
+             "label": np.int32(3)}
+        ]
+        path = save_ckpt(str(tmp_path), state, cfg, train_vars=tv)
+        tv2 = TrainVars()
+        _, found = load_ckpt(path, state, train_vars=tv2)
+        assert found
+        got = tv2.x_inputs_train[0]
+        np.testing.assert_array_equal(
+            np.asarray(got["commands"]), tv.x_inputs_train[0]["commands"])
+        assert np.asarray(got["tensor"][0]).shape == (3, 14)
+
     def test_latest_selection(self, tmp_path):
         cfg, state = self._make_state()
         save_ckpt(str(tmp_path), state.replace(step=state.step + 3), cfg)
