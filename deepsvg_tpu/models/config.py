@@ -61,10 +61,11 @@ class ModelConfig:
     # CPU). See ops/layer.py, ops/layer_vjp.py.
     attention_impl: str = "xla"
     # backend override for the HIERARCHICAL (stage-2) stacks, whose
-    # sequences are G=8-token-tiny: their per-layer FLOPs are ~1/30 of the
-    # big stages', so Pallas kernel-launch overhead can dominate and the
-    # plain XLA lowering wins (measured; see PERFORMANCE.md round 3).
-    # None = follow attention_impl.
+    # sequences are G=8-token-tiny (per-layer FLOPs ~1/30 of the big
+    # stages'). A/B'd on-chip (scripts/exp_hier_stack_impl.py): the fused
+    # Pallas kernels still WIN there — full flagship train step 25.1 ms
+    # (pallas) vs 26.2 ms (stage-2 on xla) — so the default (None = follow
+    # attention_impl) is correct; the knob remains for experiments.
     attention_impl_hierarchical: str | None = None
 
     @property

@@ -96,7 +96,12 @@ def grad_check(batch_size=16):
                                 *args, *args)["params"]
 
         def f(p):
-            out = model.apply({"params": p}, *args, *args)
+            # deterministic=False routes through the differentiable training
+            # kernels (the fully-fused inference layer has no VJP); dropout
+            # is 0.0 so the result is still deterministic
+            out = model.apply({"params": p}, *args, *args,
+                              deterministic=False,
+                              rngs={"dropout": jax.random.key(1)})
             return svg_loss(out, WEIGHTS, cfg)["loss"]
 
         return params, jax.jit(jax.value_and_grad(f))
