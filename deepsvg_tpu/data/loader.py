@@ -233,10 +233,16 @@ class DataLoader:
             t.start()
 
         for slot in range(n_batches):
+            # pop under the lock, yield OUTSIDE it: this generator may be
+            # consumed from multiple threads (prefetch_to_device stagers take
+            # turns calling next() under their claim lock), and a yield inside
+            # `with results_cv` would suspend while holding the lock in one
+            # thread and resume — and try to release it — in another
             with results_cv:
                 while slot not in results:
                     results_cv.wait()
-                yield results.pop(slot)
+                batch = results.pop(slot)
+            yield batch
 
 
 def device_put_sharded(batch: dict, mesh=None, batch_dim: int = 0):

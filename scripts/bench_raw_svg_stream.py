@@ -107,12 +107,16 @@ def bench_train_e2e(out_dir: str, meta: str, steps: int) -> dict:
                          log_dir="/tmp/bench_raw_svg", debug=True,
                          dataset=ds, max_steps=steps)
     wall = time.time() - t0
-    step_s = stats.stats["train"]["time"].global_avg
+    sv = stats.stats["train"]["time"]
+    step_s = sv.global_avg           # includes the first-step compiles
+    steady_s = sv.median             # last-window median: steady state
     return {
         "steps": int(state.step),
         "wall_s": round(wall, 1),
-        "step_s": round(step_s, 4),
-        "samples_per_s": round(cfg.batch_size / step_s, 1) if step_s else None,
+        "step_s_incl_compile": round(step_s, 4),
+        "steady_step_s": round(steady_s, 4),
+        "steady_samples_per_s": (
+            round(cfg.batch_size / steady_s, 1) if steady_s else None),
         "batch_size": cfg.batch_size,
     }
 

@@ -100,6 +100,38 @@ class TestModelWithPallasAttention:
         )
 
 
+    def test_hierarchical_impl_override(self, rng):
+        """``attention_impl_hierarchical`` routes ONLY the stage-2 stacks:
+        same params, same outputs as all-pallas (A/B'd on chip —
+        scripts/exp_hier_stack_impl.py; Pallas wins, the knob remains for
+        experiments)."""
+        import dataclasses
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_model import make_batch, small_cfg
+
+        cfg_p = small_cfg(encode_stages=2, decode_stages=2, use_vae=False)
+        cfg_p = dataclasses.replace(cfg_p, attention_impl="pallas")
+        assert cfg_p.attn_impl_hier == "pallas"
+        cfg_h = dataclasses.replace(cfg_p, attention_impl_hierarchical="xla")
+        assert cfg_h.attn_impl_hier == "xla"
+        cmds, args = make_batch(rng, cfg_p)
+        from deepsvg_tpu.models import SVGTransformer
+
+        model_p = SVGTransformer(cfg_p)
+        variables = model_p.init(
+            {"params": jax.random.PRNGKey(0)}, cmds, args, cmds, args)
+        out_p = model_p.apply(variables, cmds, args, cmds, args)
+        out_h = SVGTransformer(cfg_h).apply(variables, cmds, args, cmds, args)
+        np.testing.assert_allclose(
+            np.asarray(out_h["command_logits"]),
+            np.asarray(out_p["command_logits"]), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(out_h["args_logits"]),
+            np.asarray(out_p["args_logits"]), atol=1e-4)
+
+
 class TestHungarianBruteforce:
     def test_matches_scipy_optimal_cost(self, rng):
         from scipy.optimize import linear_sum_assignment

@@ -105,6 +105,43 @@ class TestLoader:
         with pytest.raises(Exception):
             list(prefetch_to_device(bad_batches(), size=1, num_threads=2))
 
+    def test_multiworker_iter_consumed_from_multiple_threads(self):
+        """Regression: the num_workers>1 thread path used to yield while
+        holding ``results_cv``; when the generator was resumed from a
+        DIFFERENT thread (exactly what prefetch_to_device's stagers do,
+        taking turns under their claim lock) the `with` exit released a lock
+        owned by another thread -> "cannot release un-acquired lock"."""
+        import threading
+
+        class PerItem:  # no get_batch_arrays -> forces the per-item path
+            def __len__(self):
+                return 32
+
+            def __getitem__(self, i):
+                return {"commands": np.full((3, 8), i, np.int32)}
+
+        it = iter(DataLoader(PerItem(), batch_size=8, num_workers=2,
+                             shuffle=False))
+        out: list = []
+        errs: list = []
+
+        def pull_one():
+            try:
+                out.append(next(it, None))
+            except BaseException as e:  # pragma: no cover - the regression
+                errs.append(e)
+
+        # alternate next() across fresh threads: each resume happens in a
+        # different thread than the previous suspend
+        for _ in range(5):  # 4 batches + exhaustion signal
+            t = threading.Thread(target=pull_one)
+            t.start()
+            t.join(timeout=30)
+            assert not t.is_alive()
+        assert not errs, errs
+        assert [b is None for b in out] == [False] * 4 + [True]
+        assert out[0]["commands"][0, 0, 0] == 0
+
     def test_prefetch_to_device(self):
         """Device prefetch: yields every batch in order, on device, filtered
         to the requested keys."""
