@@ -3,6 +3,10 @@
 One-stage model, T = 60 tokens, batch 256, bf16 (the docs/PERFORMANCE.md
 "Autoregressive greedy decode" configuration). Chained-scan timing.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import dataclasses
 import functools
 import time

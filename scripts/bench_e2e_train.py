@@ -10,6 +10,10 @@ Method: two runs sharing a warm compile cache and one dataset instance; the
 second run's extra steps are all hot, so
 ``samples/s = (steps2 - steps1) * B / (t2 - t1)`` cancels compile + setup.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -6,6 +6,10 @@ Questions this answers (driving the e2e train-loop design):
 2. Does a device_put issued while a long jitted computation runs overlap
    (true async DMA) or serialize behind it (single relay stream)?
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -9,6 +9,10 @@ every variant read ~1.6 ms/layer. Here per-iteration time is
 only in iteration count, so launch + transfer + fetch cancel exactly
 (the same method bench.py uses).
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -5,6 +5,10 @@ against quadratically growing masked-out score FLOPs; ~35% MXU utilization
 measured at the default 256 rows (xplane trace, scripts/trace_inference.py).
 This sweeps tile_b at the flagship bench shapes to find the knee.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import time
 

@@ -8,6 +8,10 @@ B=128 icons -> 1024 stage-1 sequences of S=32, d_model 256, dff 512, bf16,
 dropout 0.1. Chained lax.scan timing (data dependency between iterations),
 synchronized by a scalar fetch.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import time
 

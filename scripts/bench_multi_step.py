@@ -5,6 +5,10 @@ relay) from (b) any slowdown of the scanned train-step graph itself.
 Batches pre-staged on device in both arms; synchronization by fetching the
 loss scalar.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -10,6 +10,10 @@ backward and the per-chip batch cap disappears.
 
 Timing: chained-scan method (see docs/PERFORMANCE.md).
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import time
 

@@ -2,6 +2,10 @@
 failures (dense tile 1024 rows + attn 128/256; 512 + 256), which previously
 died as a swallowed `tpu_compile_helper exit 1`. Prints the full exception.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import traceback
 
 import numpy as np

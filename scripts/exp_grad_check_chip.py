@@ -3,6 +3,10 @@ change: fused_layer_train (Pallas fwd+bwd, dropout off) vs the plain XLA
 formulation, at flagship training shapes. CPU equivalence is covered by
 tests/test_ops.py::TestFusedLayerTrain — this validates the REAL Mosaic
 lowering (interpret mode does not catch lowering-only bugs)."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 
 

@@ -5,6 +5,10 @@ fails (any n_blocks > 1 / row tiles > 256 — see bench_layer_fwd_compare)?
 If yes, the scalar-prefetch grid spec is what the remote Mosaic toolchain
 chokes on, and switching unlocks bigger training tiles + attention
 sub-blocking."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import time
 

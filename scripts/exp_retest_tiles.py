@@ -1,5 +1,9 @@
 """Retest training-kernel lowering at n_blocks > 1 after the combined-slice
 restructure (no per-block sublane-slice intermediates)."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -6,6 +6,10 @@ The training kernel slices per-block row ranges at multiples of
 multiples of the 8/16-row sublane tile, forcing relayouts. This bench
 compares S=31 vs S=32 at matched row counts, fwd and fwd+bwd, on the chip.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -6,6 +6,10 @@ Measures (per-iteration, chained-scan method — see docs/PERFORMANCE.md):
   3. deterministic inference forward (fully-fused layers) at the same batch
   4. optimizer-only update (AdamW + clip on fixed grads)
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import time
 

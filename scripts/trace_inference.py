@@ -4,6 +4,10 @@ no tensorboard plugin needed).
 
 Usage: PYTHONPATH=/root/repo python scripts/trace_inference.py [train]
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import glob
 import os
 import sys

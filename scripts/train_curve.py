@@ -8,6 +8,10 @@ batch 128, bf16, dropout 0.1. Variants (argv[1]):
   long          - hierarchical_ordered, pallas, 5000-step stability soak
 Writes docs/train_curve_<variant>.json.
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import sys
 import time
