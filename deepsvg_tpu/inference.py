@@ -54,6 +54,37 @@ class InferenceSession:
             partial(greedy_sample, model)
         )
 
+    def _check_tokens(self, name: str, v: np.ndarray):
+        """Integer inputs outside the embedding table produce silent NaN on
+        TPU (``jnp.take`` out-of-bounds is undefined, not an error), so the
+        public boundary validates on host where a real exception is cheap."""
+        cfg = self.model.cfg
+        if name.startswith("commands"):
+            lo, hi = 0, cfg.n_commands - 1
+        elif name.startswith("args"):
+            lo, hi = -1, cfg.args_dim - 1  # PAD_VAL .. quantization grid max
+        else:
+            return
+        if not v.size:
+            return
+        mn, mx = int(v.min()), int(v.max())
+        if mn < lo or mx > hi:
+            raise ValueError(
+                f"{name} contains values outside [{lo}, {hi}] "
+                f"(got min {mn}, max {mx}); out-of-range tokens would "
+                f"produce silent NaN on TPU")
+
+    def _check_label(self, label):
+        if label is None:
+            return
+        v = np.asarray(label)
+        if v.size and (int(v.min()) < 0
+                       or int(v.max()) >= self.model.cfg.n_labels):
+            raise ValueError(
+                f"label out of range [0, {self.model.cfg.n_labels - 1}] "
+                f"(got min {int(v.min())}, max {int(v.max())}); "
+                f"out-of-range labels would produce silent NaN on TPU")
+
     # --- encode ----------------------------------------------------------
     def encode(self, batch: dict) -> jnp.ndarray:
         """Packed model-args dict (unbatched or batched) -> latent ``[N, dz]``."""
@@ -65,6 +96,7 @@ class InferenceSession:
             unbatched_ndim = 3 if k.startswith("args") else 2
             if v.ndim == unbatched_ndim:
                 v = v[None]
+            self._check_tokens(k, v)
             args.append(jnp.asarray(v))
         return self._encode(self.variables, *args)
 
@@ -98,6 +130,7 @@ class InferenceSession:
         """Latents ``[N, dz]`` -> list of SVG documents (one batched forward)."""
         if z.ndim == 1:
             z = z[None]
+        self._check_label(label)
         commands_y, args_y = self._decode(self.variables, z=z, label=label)
         out = []
         for c, a in flatten_groups_np(commands_y, args_y):

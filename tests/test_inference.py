@@ -108,6 +108,25 @@ class TestInference:
         z = session.encode_svg(svg)
         assert z.shape == (1, 16)
 
+    def test_out_of_range_inputs_rejected(self, session):
+        """Out-of-range integer tokens/labels would produce silent NaN on TPU
+        (jnp.take OOB is undefined); the public boundary raises instead."""
+        item = session.dataset.get(idx=0, model_args=["commands", "args"],
+                                   random_aug=False)
+        bad = {k: np.array(v) for k, v in item.items()}
+        bad["commands"] = bad["commands"].copy()
+        bad["commands"][0, 0] = 99
+        with pytest.raises(ValueError, match="commands.*silent NaN"):
+            session.encode(bad)
+        bad2 = {k: np.array(v) for k, v in item.items()}
+        bad2["args"] = bad2["args"].copy()
+        bad2["args"][0, 0, 0] = -7
+        with pytest.raises(ValueError, match="args.*silent NaN"):
+            session.encode(bad2)
+        z = session.encode_icon(idx=0)
+        with pytest.raises(ValueError, match="label out of range"):
+            session.decode(z, label=np.array([10**6]))
+
     def test_interpolation_batched(self, session):
         z1 = session.encode_icon(idx=0)
         z2 = session.encode_icon(idx=1)
