@@ -17,6 +17,9 @@ Built from scratch, array-first and batch-first:
 - ``deepsvg_tpu.data``       — dataset loaders (icons/fonts tensor datasets, raw SVGs).
 - ``deepsvg_tpu.training``   — config-driven training runtime: stats, checkpointing,
   schedulers, visualization, CLI.
+- ``deepsvg_tpu.serving``    — ahead-of-time ``jax.export`` of the inference
+  graphs: one StableHLO artifact per batch bucket, weights baked in,
+  deserializable without model code.
 
 Reference capability map: see /root/repo/SURVEY.md.
 """

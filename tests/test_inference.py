@@ -220,6 +220,39 @@ class TestAnimate:
         assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+class TestServingExport:
+    def test_export_roundtrip(self, session, tmp_path):
+        """jax.export artifact: encode/decode deserialize WITHOUT model code
+        and reproduce the live session's outputs exactly."""
+        from deepsvg_tpu.serving import export_session, load_session_exports
+
+        out = str(tmp_path / "served")
+        paths = export_session(session.model, session.variables, out,
+                               batch_sizes=(2,))
+        assert set(paths) == {"encode", "decode"}
+        assert os.path.exists(os.path.join(out, "manifest.json"))
+
+        fns = load_session_exports(out)
+        item = session.dataset[0]
+        cmds = np.broadcast_to(np.asarray(item["commands"])[None],
+                               (2, 3, 8)).copy()
+        args = np.broadcast_to(np.asarray(item["args"])[None],
+                               (2, 3, 8, 11)).copy()
+        z = fns["encode"][2](cmds.astype(np.int32), args.astype(np.int32))
+        z_live = session.encode({"commands": cmds, "args": args})
+        # the exported graph compiles with slightly different fusions
+        # (measured ~1e-6 absolute under the 8-device CPU test env)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(z_live),
+                                   atol=1e-5, rtol=1e-5)
+        out_c, out_a = fns["decode"][2](np.asarray(z))
+        from deepsvg_tpu.models.sample import greedy_sample
+        live_c, live_a = greedy_sample(session.model, session.variables,
+                                       z=z_live)
+        np.testing.assert_array_equal(np.asarray(out_c), np.asarray(live_c))
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(live_a),
+                                   atol=1e-5, rtol=1e-5)
+
+
 class TestLoadSession:
     def test_load_session_from_config_and_weights(self, tmp_path, session):
         """load_session round trip: save weights, rebuild from an experiment
