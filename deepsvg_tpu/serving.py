@@ -75,12 +75,14 @@ def export_session(model: SVGTransformer, variables, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
 
     def specs_encode(b):
+        # canonical input dtypes (data/loader.py decompress_batch):
+        # int32 commands, float32 quantized args
         return (
             jax.ShapeDtypeStruct((b, cfg.max_num_groups, cfg.max_seq_len + 2),
                                  jnp.int32),
             jax.ShapeDtypeStruct(
                 (b, cfg.max_num_groups, cfg.max_seq_len + 2, cfg.n_args),
-                jnp.int32),
+                jnp.float32),
         )
 
     def specs_decode(b):

@@ -238,7 +238,7 @@ class TestServingExport:
                                (2, 3, 8)).copy()
         args = np.broadcast_to(np.asarray(item["args"])[None],
                                (2, 3, 8, 11)).copy()
-        z = fns["encode"][2](cmds.astype(np.int32), args.astype(np.int32))
+        z = fns["encode"][2](cmds.astype(np.int32), args.astype(np.float32))
         z_live = session.encode({"commands": cmds, "args": args})
         # the exported graph compiles with slightly different fusions
         # (measured ~1e-6 absolute under the 8-device CPU test env)
