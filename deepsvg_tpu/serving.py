@@ -41,11 +41,16 @@ from .models.sample import greedy_sample
 _MANIFEST = "manifest.json"
 
 
-def _encode_fn(model: SVGTransformer, variables):
-    def encode(commands, args):
-        return model.apply(variables, commands, args, None, None,
-                           encode_mode=True, deterministic=True)
-
+def _encode_fn(model: SVGTransformer, variables, with_label: bool):
+    if with_label:
+        def encode(commands, args, label):
+            return model.apply(variables, commands, args, None, None,
+                               label=label, encode_mode=True,
+                               deterministic=True)
+    else:
+        def encode(commands, args):
+            return model.apply(variables, commands, args, None, None,
+                               encode_mode=True, deterministic=True)
     return encode
 
 
@@ -76,14 +81,17 @@ def export_session(model: SVGTransformer, variables, out_dir: str,
 
     def specs_encode(b):
         # canonical input dtypes (data/loader.py decompress_batch):
-        # int32 commands, float32 quantized args
-        return (
+        # int32 commands, float32 quantized args, int32 labels
+        specs = [
             jax.ShapeDtypeStruct((b, cfg.max_num_groups, cfg.max_seq_len + 2),
                                  jnp.int32),
             jax.ShapeDtypeStruct(
                 (b, cfg.max_num_groups, cfg.max_seq_len + 2, cfg.n_args),
                 jnp.float32),
-        )
+        ]
+        if with_label:
+            specs.append(jax.ShapeDtypeStruct((b,), jnp.int32))
+        return tuple(specs)
 
     def specs_decode(b):
         specs = [jax.ShapeDtypeStruct((b, cfg.dim_z), jnp.float32)]
@@ -92,7 +100,7 @@ def export_session(model: SVGTransformer, variables, out_dir: str,
         return tuple(specs)
 
     fns = {
-        "encode": (_encode_fn(model, variables), specs_encode),
+        "encode": (_encode_fn(model, variables, with_label), specs_encode),
         "decode": (_decode_fn(model, variables, with_label), specs_decode),
     }
     manifest = {"batch_sizes": list(map(int, batch_sizes)),

@@ -252,6 +252,35 @@ class TestServingExport:
         np.testing.assert_allclose(np.asarray(out_a), np.asarray(live_a),
                                    atol=1e-5, rtol=1e-5)
 
+    def test_export_label_conditioned(self, tmp_path):
+        """Fonts-style decode exports with a label operand."""
+        import dataclasses
+
+        from deepsvg_tpu.models.sample import greedy_sample
+        from deepsvg_tpu.serving import export_session, load_session_exports
+
+        cfg = dataclasses.replace(tiny_model_cfg(), label_condition=True,
+                                  n_labels=5)
+        model = SVGTransformer(cfg)
+        rng = np.random.default_rng(3)
+        from deepsvg_tpu.data.synthetic import generate_batch
+        b = generate_batch(rng, 2, cfg.max_num_groups, cfg.max_seq_len)
+        label = np.array([1, 3], np.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               b["commands"], b["args"], b["commands"],
+                               b["args"], label=label)
+        out = str(tmp_path / "served_fonts")
+        export_session(model, variables, out, batch_sizes=(2,))
+        fns = load_session_exports(out)
+        z = fns["encode"][2](np.asarray(b["commands"], np.int32),
+                             np.asarray(b["args"], np.float32), label)
+        out_c, _ = fns["decode"][2](np.asarray(z, np.float32), label)
+        live_c, _ = greedy_sample(
+            model, variables, label=label,
+            z=model.apply(variables, b["commands"], b["args"], None, None,
+                          label=label, encode_mode=True, deterministic=True))
+        np.testing.assert_array_equal(np.asarray(out_c), np.asarray(live_c))
+
 
 class TestLoadSession:
     def test_load_session_from_config_and_weights(self, tmp_path, session):
