@@ -209,6 +209,10 @@ class SyntheticAugmentedCorpus:
         self._shift = arng.uniform(-16, 16, (N, n_augs, 2)).astype(np.float32)
         self._scale[:, 0] = 1.0
         self._shift[:, 0] = 0.0
+        # persistent access rng: the variant drawn for an access varies from
+        # call to call (reference svgtensor_dataset.py:156 draws uniformly per
+        # access from the process rng), while staying seed-reproducible
+        self._access_rng = np.random.default_rng(seed + 11)
 
     def _generate_chunk(self, lo: int, hi: int):
         """Vectorized ``generate_icon`` over icons [lo, hi): same recipe
@@ -285,8 +289,8 @@ class SyntheticAugmentedCorpus:
 
     def __getitem__(self, idx: int) -> dict:
         icon = int(idx) % self.n_icons
-        rng = np.random.default_rng((self.seed + 7) * 1_000_003 + int(idx))
-        return self.get_item_aug(icon, int(rng.integers(self.nb_augmentations)))
+        return self.get_item_aug(
+            icon, int(self._access_rng.integers(self.nb_augmentations)))
 
     def get(self, idx=0, model_args=None, random_aug=True, id=None, svg=None):
         """Same surface as the real loaders' ``get`` (dataset.py:195);
@@ -294,7 +298,7 @@ class SyntheticAugmentedCorpus:
         from ..svgtensor import cmd_args_to_data14
 
         icon = int(idx) % self.n_icons
-        aug = (int(np.random.default_rng(icon).integers(self.nb_augmentations))
+        aug = (int(self._access_rng.integers(self.nb_augmentations))
                if random_aug else 0)
         item = self.get_item_aug(icon, aug)
         keys = set(model_args) if model_args is not None else set(item)
@@ -313,8 +317,7 @@ class SyntheticAugmentedCorpus:
         a random aug per access (reference ``idx % len(df)`` + random
         variant)."""
         idx = np.asarray(indices, np.int64) % self.n_icons
-        rng = np.random.default_rng(self.seed + 11)
-        aug = rng.integers(0, self.nb_augmentations, idx.shape)
+        aug = self._access_rng.integers(0, self.nb_augmentations, idx.shape)
         return {"commands": self._commands[idx].astype(np.int32),
                 "args": self._variant_args(idx, aug)}
 

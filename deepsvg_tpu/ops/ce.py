@@ -82,6 +82,15 @@ def _bwd_kernel(
     y_ref, wa_ref, ba_ref, tgt_ref, g_ref, dy_ref, dwa_ref, dba_ref,
     *, n_args: int, args_vocab: int, tile_rows: int, d_model: int,
 ):
+    """Backward: dlg = (softmax - onehot) * g, then dy / dW / db matmuls.
+
+    Numerics tradeoff (round 3, grad-verified): ``dlg`` is rounded to the
+    activation dtype (bf16 in production) BEFORE the dy and dW matmuls — an
+    intentional perf choice (bf16 MXU issue rate) replacing the earlier f32
+    wgrad path. The accumulators stay f32 (``preferred_element_type``); only
+    the per-element softmax gradient loses mantissa. Acceptance bar is the
+    measured parity curves (docs/PARITY_CURVE_CHIP.md), which cover this
+    rounding within the stated bf16 tolerance."""
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dwa_ref[:] = jnp.zeros_like(dwa_ref)

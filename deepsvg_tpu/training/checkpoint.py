@@ -11,6 +11,7 @@ import glob
 import json
 import os
 import shutil
+import warnings
 from typing import Optional, Tuple
 
 import numpy as np
@@ -30,6 +31,12 @@ def _jsonable(v):
         return v.tolist()
     if isinstance(v, np.generic):
         return v.item()
+    # json.dumps only calls this for non-serializable values, so anything
+    # reaching here round-trips as a string (the restored value changes
+    # type); make that detectable instead of silent
+    warnings.warn(
+        f"train_vars value of type {type(v).__name__} is checkpointed as "
+        f"repr() and will restore as a str", stacklevel=3)
     return repr(v)
 
 

@@ -212,14 +212,14 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
                   f"{mb / max(_t_upload, 1e-9):.0f} MB/s]")
 
     # K-step dispatch only observes step counts at multiples of K: round the
-    # cadences up LOCALLY. (Never mutate cfg — it serializes into checkpoints
-    # via to_dict, and a resumed run would silently inherit a cadence rounded
-    # for a K it is no longer using.)
+    # cadences up LOCALLY to the next multiple of K, so an event never fires
+    # more often than configured. (Never mutate cfg — it serializes into
+    # checkpoints via to_dict, and a resumed run would silently inherit a
+    # cadence rounded for a K it is no longer using.)
     log_every, val_every, ckpt_every = cfg.log_every, cfg.val_every, cfg.ckpt_every
     if K > 1:
         log_every, val_every, ckpt_every = (
-            v if v % K == 0 else max(v // K, 1) * K
-            for v in (log_every, val_every, ckpt_every)
+            -(-v // K) * K for v in (log_every, val_every, ckpt_every)
         )
 
     # In-graph weights whenever possible — even at K=1: passing python-float
