@@ -652,6 +652,129 @@ class TestFusedLayerTrain:
                 err_msg=f"grad mismatch: {n}",
             )
 
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_batched_attention_matches_reference(self, rng, causal):
+        """batched=True (rank-3 per-sequence attention, _attn_fwd_batched):
+        forward and every gradient must match the XLA reference for both
+        causal settings — the form changes only the score layout (no
+        cross-sequence waste), not the math."""
+        from deepsvg_tpu.ops.layer_vjp import fused_layer_train
+
+        b, s, tile_b = 16, 8, 8
+        args = self._inputs(rng, b=b, s=s)
+        mask = np.zeros((b, s), np.float32)
+        mask[:, 6:] = -np.inf
+        mask = jnp.asarray(mask)
+        seed = jnp.asarray([0], jnp.int32)
+
+        out = fused_layer_train(*args[:12], mask, seed, 4, tile_b, causal,
+                                0.0, None, True)
+        ref = self._ref_layer(*args, mask, 4, causal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+        argnums = tuple(range(12))
+        gf = jax.grad(
+            lambda *a: jnp.sum(
+                fused_layer_train(*a, mask, seed, 4, tile_b, causal, 0.0,
+                                  None, True) ** 2
+            ),
+            argnums=argnums,
+        )(*args)
+        gr = jax.grad(
+            lambda *a: jnp.sum(self._ref_layer(*a, mask, 4, causal) ** 2),
+            argnums=argnums,
+        )(*args)
+        names = ["x", "bias", "ln1", "wqkv", "bqkv", "wo", "bo", "ln2",
+                 "w1", "b1", "w2", "b2"]
+        for n, a, b_ in zip(names, gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=5e-4,
+                err_msg=f"grad mismatch (batched, causal={causal}): {n}",
+            )
+
+    def test_batched_dropout_mask_consistent_fwd_bwd(self, rng):
+        """With dropout on, the batched-form fwd and bwd kernels must draw the
+        SAME masks. Checked against a pure-JAX replica of the batched forward
+        that reuses ``_site_mask`` with the kernels' traced scalars: the fused
+        forward must match it to rounding noise (a flipped dropout bit would
+        show up as an O(1) element error) and every fused gradient must match
+        ``jax.grad`` of the replica (one consistent autodiff graph) to f32
+        noise. (A finite-difference check is invalid here: at sum(out**2)~2e4
+        the f32 rounding of f alone, ~1e-3, divided by 2*eps swamps the
+        directional derivative.)"""
+        from deepsvg_tpu.ops.layer_vjp import (
+            _SITE_ATTN_OUT, _SITE_FF_HIDDEN, _SITE_FF_OUT, _ln_fwd,
+            _site_mask, fused_layer_train)
+
+        b, s, d, dff, n_heads, tile_b = 8, 8, 32, 64, 4, 4
+        rate = 0.3
+        args = self._inputs(rng, b=b, s=s)
+        mask = jnp.zeros((b, s), jnp.float32)
+        seed = jnp.asarray([7], jnp.int32)
+
+        def replica(x, bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2):
+            head_dim = d // n_heads
+            scale = head_dim ** -0.5
+            kp = 1.0 / (1.0 - rate)
+            rows = tile_b * s
+            outs = []
+            for pid_py in range(b // tile_b):
+                pid = jnp.int32(pid_py)
+                seed_val = seed[0]
+                x0 = x[pid_py * tile_b:(pid_py + 1) * tile_b].reshape(rows, d)
+                xn1, _, _ = _ln_fwd(x0, ln1[0:1], ln1[1:2])
+                qkv = xn1 @ wqkv + bqkv
+                heads = []
+                for h in range(n_heads):
+                    q = qkv[:, h * head_dim:(h + 1) * head_dim]
+                    k = qkv[:, d + h * head_dim:d + (h + 1) * head_dim]
+                    v = qkv[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
+                    q, k, v = (t.reshape(tile_b, s, head_dim) for t in (q, k, v))
+                    sc = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+                    m = jnp.maximum(jnp.max(sc, axis=-1, keepdims=True), -1e30)
+                    e = jnp.exp(sc - m)
+                    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+                    keep = _site_mask((rows, s), rate, True, seed_val, pid, h)
+                    p = p * keep.reshape(tile_b, s, s) * kp
+                    heads.append(
+                        jnp.einsum("bqk,bkd->bqd", p, v).reshape(rows, head_dim))
+                a = jnp.concatenate(heads, axis=1) @ wo + bo
+                a = a * _site_mask((rows, d), rate, True, seed_val, pid,
+                                   _SITE_ATTN_OUT) * kp
+                inj = bias[pid_py * tile_b:(pid_py + 1) * tile_b]
+                x1 = x0 + a + jnp.repeat(inj, s, axis=0)
+                xn2, _, _ = _ln_fwd(x1, ln2[0:1], ln2[1:2])
+                h_act = jnp.maximum(xn2 @ w1 + b1, 0.0)
+                h_act = h_act * _site_mask((rows, dff), rate, True, seed_val,
+                                           pid, _SITE_FF_HIDDEN) * kp
+                f = h_act @ w2 + b2
+                f = f * _site_mask((rows, d), rate, True, seed_val, pid,
+                                   _SITE_FF_OUT) * kp
+                outs.append((x1 + f).reshape(tile_b, s, d))
+            return jnp.concatenate(outs, axis=0)
+
+        out_k = fused_layer_train(*args, mask, seed, n_heads, tile_b, False,
+                                  rate, None, True)
+        out_r = jax.jit(replica)(*args)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                                   atol=1e-5)
+
+        argnums = tuple(range(12))
+        gk = jax.grad(
+            lambda *a: jnp.sum(
+                fused_layer_train(*a, mask, seed, n_heads, tile_b, False,
+                                  rate, None, True) ** 2),
+            argnums=argnums)(*args)
+        gr = jax.grad(lambda *a: jnp.sum(replica(*a) ** 2),
+                      argnums=argnums)(*args)
+        names = ["x", "bias", "ln1", "wqkv", "bqkv", "wo", "bo", "ln2",
+                 "w1", "b1", "w2", "b2"]
+        for n, a_, b_ in zip(names, gk, gr):
+            scale_ = float(jnp.max(jnp.abs(b_))) + 1e-12
+            np.testing.assert_allclose(
+                np.asarray(a_) / scale_, np.asarray(b_) / scale_, atol=1e-5,
+                err_msg=f"dropout grad mismatch (batched): {n}")
+
     def test_softmax_overflow_regression(self, rng):
         """exp-overflow regression (flagship self-match NaN'd at step ~380 on
         chip): with QKV weights scaled so q.k far exceeds exp's f32 range,
