@@ -81,13 +81,16 @@ def export_session(model: SVGTransformer, variables, out_dir: str,
 
     def specs_encode(b):
         # canonical input dtypes (data/loader.py decompress_batch):
-        # int32 commands, float32 quantized args, int32 labels
+        # int32 commands, float32 quantized args, int32 labels. One-stage
+        # encoders consume the packed flat sequence [B, 1, T+2] (model_args
+        # "commands_grouped", config.get_model_args), not [G, S] tensors.
+        if cfg.encode_stages <= 1:
+            shape_c = (b, 1, cfg.max_total_len + 2)
+        else:
+            shape_c = (b, cfg.max_num_groups, cfg.max_seq_len + 2)
         specs = [
-            jax.ShapeDtypeStruct((b, cfg.max_num_groups, cfg.max_seq_len + 2),
-                                 jnp.int32),
-            jax.ShapeDtypeStruct(
-                (b, cfg.max_num_groups, cfg.max_seq_len + 2, cfg.n_args),
-                jnp.float32),
+            jax.ShapeDtypeStruct(shape_c, jnp.int32),
+            jax.ShapeDtypeStruct(shape_c + (cfg.n_args,), jnp.float32),
         ]
         if with_label:
             specs.append(jax.ShapeDtypeStruct((b,), jnp.int32))
@@ -124,9 +127,9 @@ def load_session_exports(out_dir: str) -> dict:
     """Deserialize every exported entry: {name: {batch_size: callable}}.
 
     Needs only jax on the serving host — no deepsvg_tpu model code, no
-    checkpoint. Inputs larger than a bucket must be padded by the caller
-    (pad commands with the EOS token 4, args with -1, then batch-slice).
-    Exported signatures are exact: decode takes float32 latents (cast a
+    checkpoint. Entry signatures are exact per bucket; use
+    :func:`serve_batch` to route arbitrary batch sizes (it pads to the next
+    bucket and un-pads the outputs). Decode takes float32 latents (cast a
     bf16 encode output with ``z.astype(jnp.float32)``)."""
     from jax import export as jexport
 
@@ -139,6 +142,47 @@ def load_session_exports(out_dir: str) -> dict:
             exp = jexport.deserialize(bytearray(f.read()))
         out.setdefault(name, {})[int(b)] = exp.call
     return out
+
+
+def serve_batch(fns: dict, name: str, *args):
+    """Bucket-routed call: pad a variable-size batch to the smallest
+    exported bucket, dispatch, and un-pad the outputs.
+
+    ``fns`` is :func:`load_session_exports`'s result; ``name`` is the entry
+    ("encode"/"decode"); ``args`` are the entry's operands with a common
+    leading batch dimension of any size <= the largest bucket. Padding
+    follows the wire contract the exports were built with
+    (data/loader.py decompress_batch): integer command tensors pad with the
+    EOS token 4, float argument tensors with -1, float latents and integer
+    labels with 0. Outputs are sliced back to the true batch size.
+    """
+    entries = fns[name]
+    n = int(args[0].shape[0])
+    buckets = sorted(entries)
+    fit = [b for b in buckets if b >= n]
+    if not fit:
+        raise ValueError(
+            f"batch {n} exceeds the largest exported bucket {buckets[-1]} "
+            f"for {name!r}; export a bigger bucket or split the batch")
+    b = fit[0]
+
+    def pad(x):
+        x = jnp.asarray(x)
+        if x.shape[0] == b:
+            return x
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            # rank-1 ints are labels (pad 0); command tensors pad with EOS 4
+            fill = 0 if x.ndim == 1 else 4
+        else:
+            fill = 0.0 if x.ndim <= 2 else -1.0  # latents vs args
+        padshape = (b - x.shape[0],) + x.shape[1:]
+        return jnp.concatenate([x, jnp.full(padshape, fill, x.dtype)], axis=0)
+
+    out = entries[b](*(pad(a) for a in args))
+    unpad = lambda y: y[:n] if hasattr(y, "shape") and y.shape and y.shape[0] == b else y
+    if isinstance(out, (tuple, list)):
+        return type(out)(unpad(y) for y in out)
+    return unpad(out)
 
 
 def main(argv=None):

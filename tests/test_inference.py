@@ -281,6 +281,110 @@ class TestServingExport:
                           label=label, encode_mode=True, deterministic=True))
         np.testing.assert_array_equal(np.asarray(out_c), np.asarray(live_c))
 
+    def test_serve_batch_bucket_routing(self, session, tmp_path):
+        """serve_batch pads a ragged batch to the next bucket (EOS/-1 wire
+        contract) and un-pads, matching per-bucket exact-size calls."""
+        from deepsvg_tpu.serving import (export_session, load_session_exports,
+                                         serve_batch)
+
+        out = str(tmp_path / "served_buckets")
+        export_session(session.model, session.variables, out,
+                       batch_sizes=(2, 4))
+        fns = load_session_exports(out)
+        item = session.dataset[0]
+        cmds = np.broadcast_to(np.asarray(item["commands"])[None],
+                               (3, 3, 8)).astype(np.int32).copy()
+        args = np.broadcast_to(np.asarray(item["args"])[None],
+                               (3, 3, 8, 11)).astype(np.float32).copy()
+        # batch 3 -> routed to bucket 4, outputs sliced back to 3
+        z = serve_batch(fns, "encode", cmds, args)
+        assert z.shape[0] == 3
+        z_exact = fns["encode"][4](
+            np.concatenate([cmds, np.full((1, 3, 8), 4, np.int32)]),
+            np.concatenate([args, np.full((1, 3, 8, 11), -1, np.float32)]))
+        np.testing.assert_allclose(np.asarray(z), np.asarray(z_exact)[:3],
+                                   atol=1e-6)
+        out_c, out_a = serve_batch(fns, "decode",
+                                   np.asarray(z, np.float32))
+        assert out_c.shape[0] == 3 and out_a.shape[0] == 3
+        # batch 1 -> bucket 2
+        z1 = serve_batch(fns, "encode", cmds[:1], args[:1])
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z)[:1],
+                                   atol=1e-5, rtol=1e-5)
+        # over the largest bucket -> explicit error
+        big_c = np.broadcast_to(cmds[:1], (5, 3, 8)).copy()
+        big_a = np.broadcast_to(args[:1], (5, 3, 8, 11)).copy()
+        with pytest.raises(ValueError, match="largest exported bucket"):
+            serve_batch(fns, "encode", big_c, big_a)
+
+    def test_export_autoregressive_variant(self, tmp_path):
+        """KV-scan autoregressive decode exports through jax.export and
+        reproduces the live sampler (VERDICT r3: one-shot only before)."""
+        from deepsvg_tpu.models.sample import greedy_sample
+        from deepsvg_tpu.serving import export_session, load_session_exports
+
+        cfg = ModelConfig(
+            encode_stages=1, decode_stages=1, pred_mode="autoregressive",
+            use_vae=False, max_num_groups=2, max_seq_len=5, d_model=32,
+            dim_feedforward=64, dim_z=16, n_layers=1, n_layers_decode=1,
+            n_heads=4, dropout=0.0,
+        )
+        model = SVGTransformer(cfg)
+        rng = np.random.default_rng(5)
+        from deepsvg_tpu.data.synthetic import generate_batch
+        b = generate_batch(rng, 2, cfg.max_num_groups, cfg.max_seq_len)
+        # one-stage models consume the packed flat sequence [B, 1, T+2]
+        # (config.get_model_args -> "commands_grouped")
+        cg, ag = b["commands_grouped"], b["args_grouped"]
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               cg, ag, cg, ag)
+        out = str(tmp_path / "served_ar")
+        export_session(model, variables, out, batch_sizes=(2,))
+        fns = load_session_exports(out)
+        z = fns["encode"][2](np.asarray(cg, np.int32),
+                             np.asarray(ag, np.float32))
+        out_c, out_a = fns["decode"][2](np.asarray(z, np.float32))
+        live_c, live_a = greedy_sample(model, variables,
+                                       z=np.asarray(z, np.float32))
+        np.testing.assert_array_equal(np.asarray(out_c), np.asarray(live_c))
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(live_a),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_serving_cli_roundtrip(self, tmp_path):
+        """serving.main: config + checkpoint -> export dir -> loadable."""
+        import subprocess
+        import sys
+
+        from deepsvg_tpu.serving import load_session_exports
+
+        r = subprocess.run(
+            [sys.executable, "-c", (
+                "import jax; jax.config.update('jax_platforms','cpu')\n"
+                "import numpy as np\n"
+                "from deepsvg_tpu.training.config import load_config\n"
+                "from deepsvg_tpu.training.checkpoint import save_model\n"
+                "from deepsvg_tpu.data.synthetic import generate_batch\n"
+                "import jax.numpy as jnp\n"
+                "cfg = load_config('configs_tpu.test_tiny', 1)\n"
+                "m = cfg.make_model()\n"
+                "b = generate_batch(np.random.default_rng(0), 2,"
+                " m.cfg.max_num_groups, m.cfg.max_seq_len)\n"
+                "c, a = jnp.asarray(b['commands']), jnp.asarray(b['args'])\n"
+                "v = m.init(jax.random.PRNGKey(0), c, a, c, a)\n"
+                f"save_model({str(tmp_path / 'w.ckpt')!r}, v['params'])\n"
+                "from deepsvg_tpu.serving import main\n"
+                "main(['--config-module', 'configs_tpu.test_tiny',"
+                f" '--checkpoint', {str(tmp_path / 'w.ckpt')!r},"
+                f" '--out-dir', {str(tmp_path / 'served')!r},"
+                " '--batch-sizes', '2'])\n"
+            )],
+            capture_output=True, text=True, timeout=600,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        fns = load_session_exports(str(tmp_path / "served"))
+        assert set(fns) == {"encode", "decode"} and 2 in fns["encode"]
+
 
 class TestLoadSession:
     def test_load_session_from_config_and_weights(self, tmp_path, session):
