@@ -137,6 +137,72 @@ class TestParallel:
             losses.append(float(res8["loss"]))
         assert losses[-1] < losses[0]
 
+    def test_mesh_self_match_variant(self, rng):
+        """Hungarian (self-match) training under shard_map: the fused
+        pairwise-cost path + on-device exact assignment must partition
+        correctly (the reference trains this variant via DataParallel,
+        deepsvg/train.py:74). Sharded loss must match single-device."""
+        assert jax.device_count() >= 8
+        cfg = tiny_cfg(self_match=True)
+        model = SVGTransformer(cfg)
+        model_args = cfg.get_model_args()
+        batch = device_batch(
+            generate_batch(rng, 16, cfg.max_num_groups, cfg.max_seq_len),
+            model_args)
+        optimizer = make_optimizer(warmup_step_decay(1e-3, 5, 1000))
+
+        state1 = create_train_state(model, optimizer, batch, model_args)
+        step1 = jit_train_step(model, optimizer, model_args, donate=False)
+        _, res1 = step1(state1, batch, WEIGHTS)
+
+        mesh = make_mesh(8)
+        state8 = create_train_state(model, optimizer, batch, model_args)
+        pstep = make_parallel_train_step(model, optimizer, model_args, mesh)
+        state8, res8 = pstep(state8, shard_batch(batch, mesh), WEIGHTS)
+        np.testing.assert_allclose(
+            float(res1["loss"]), float(res8["loss"]), rtol=2e-4)
+        for _ in range(3):
+            state8, res8 = pstep(state8, shard_batch(batch, mesh), WEIGHTS)
+            assert np.isfinite(float(res8["loss"]))
+
+    def test_mesh_label_conditioned_variant(self, rng):
+        """Label-conditioned (fonts recipe) training + greedy sampling under
+        the mesh: the label operand shards with the batch."""
+        assert jax.device_count() >= 8
+        cfg = tiny_cfg(label_condition=True, n_labels=16)
+        model = SVGTransformer(cfg)
+        model_args = cfg.get_model_args()
+        raw = generate_batch(rng, 16, cfg.max_num_groups, cfg.max_seq_len,
+                             label_range=cfg.n_labels)
+        batch = device_batch(raw, model_args)
+        assert "label" in batch
+        optimizer = make_optimizer(warmup_step_decay(1e-3, 5, 1000))
+
+        state1 = create_train_state(model, optimizer, batch, model_args)
+        step1 = jit_train_step(model, optimizer, model_args, donate=False)
+        _, res1 = step1(state1, batch, WEIGHTS)
+
+        mesh = make_mesh(8)
+        state8 = create_train_state(model, optimizer, batch, model_args)
+        pstep = make_parallel_train_step(model, optimizer, model_args, mesh)
+        sharded = shard_batch(batch, mesh)
+        state8, res8 = pstep(state8, sharded, WEIGHTS)
+        np.testing.assert_allclose(
+            float(res1["loss"]), float(res8["loss"]), rtol=2e-4)
+
+        from deepsvg_tpu.models.sample import one_shot_sample
+        from deepsvg_tpu.parallel.mesh import replicated
+
+        @jax.jit
+        def sample_fn(params, c, a, lab):
+            return one_shot_sample(model, {"params": params},
+                                   commands_enc=c, args_enc=a, label=lab)
+
+        oc, oa = sample_fn(jax.device_put(state8.params, replicated(mesh)),
+                           sharded["commands"], sharded["args"],
+                           sharded["label"])
+        assert oc.shape[0] == 16
+
     def test_dataset_batching(self):
         ds = SyntheticIconDataset(n=32, max_num_groups=3, max_seq_len=6)
         b = ds.get_batch(range(8))
