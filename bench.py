@@ -105,7 +105,32 @@ def main():
             out["train_mfu"] = round(train_sps * 3 * fps / peak, 4)
     except Exception:
         pass  # the headline inference metric must survive any training-path issue
+    try:
+        prev = _last_committed_bench()
+        if prev:
+            out["prev_value"] = prev
+            out["prev_delta_pct"] = round(100 * (samples_per_sec / prev - 1), 2)
+    except Exception:
+        pass
     print(json.dumps(out))
+
+
+def _last_committed_bench():
+    """Headline value from the newest committed BENCH_r*.json, so regressions
+    surface in the bench artifact itself (round-over-round drift tracking)."""
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    if not files:
+        return None
+    with open(files[-1]) as f:
+        rec = json.load(f)
+    parsed = rec.get("parsed") or {}
+    return parsed.get("value")
 
 
 def _train_throughput(batch_size: int = 128, n_iters: int = 10):
