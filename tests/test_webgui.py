@@ -169,6 +169,89 @@ def test_save_load_export_roundtrip(server, tmp_path):
     assert len(st["paths"]) == 1
 
 
+def test_scripted_session_draw_interpolate_gif_content(tmp_path):
+    """One full scripted browser session against a model-backed server —
+    draw on frame 0, keyframe a second pose, /api/interpolate, /api/export/gif
+    — asserting the RENDERED GIF's content (frame count, dimensions, nonblank
+    keyframe pixels), not just route status codes. The reference's equivalent
+    flow is the Kivy GUI + gui/interpolate.py:109-126 driven by hand."""
+    import jax
+    import numpy as np
+    from PIL import Image
+
+    from deepsvg_tpu.inference import InferenceSession
+    from deepsvg_tpu.models import ModelConfig, SVGTransformer
+    from deepsvg_tpu.data.synthetic import generate_batch
+
+    cfg = ModelConfig(encode_stages=2, decode_stages=2, use_vae=False,
+                      max_num_groups=4, max_seq_len=12, d_model=32,
+                      dim_feedforward=64, dim_z=16, n_layers=1,
+                      n_layers_decode=1, n_heads=4, dropout=0.0)
+    model = SVGTransformer(cfg)
+    b = generate_batch(np.random.default_rng(0), 2, cfg.max_num_groups,
+                       cfg.max_seq_len)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           b["commands"], b["args"],
+                           b["commands"], b["args"])
+    session = InferenceSession(model, variables)
+
+    srv = make_server(port=0, session=session)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def call(route, body=None, method="POST"):
+        data = json.dumps(body if body is not None else {}).encode()
+        req = urllib.request.Request(
+            f"{base}{route}", data=data if method == "POST" else None,
+            method=method, headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as res:
+            return res.status, json.loads(res.read())
+
+    try:
+        # frame 0: pencil-draw a circle (digitize -> keyframe)
+        call("/api/tool", {"tool": 2})
+        pts = circle(r=60)
+        call("/api/pointer", {"type": "down", "pos": pts[0]})
+        for p in pts[1:]:
+            call("/api/pointer", {"type": "move", "pos": p})
+        call("/api/pointer", {"type": "up"})
+
+        # two more frames; draw a second pose on the last (auto-keyframe)
+        call("/api/frame/add")
+        call("/api/frame/add")
+        pts2 = circle(cx=160, cy=100, r=35)
+        call("/api/pointer", {"type": "down", "pos": pts2[0]})
+        for p in pts2[1:]:
+            call("/api/pointer", {"type": "move", "pos": p})
+        code, res = call("/api/pointer", {"type": "up"})
+        assert res["state"]["timeline"]["frames"] == [True, False, True]
+
+        code, res = call("/api/interpolate")
+        assert code == 200, res
+
+        gif = str(tmp_path / "session.gif")
+        code, res = call("/api/export/gif", {"path": gif})
+        assert code == 200 and res["gif"] == gif
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    with Image.open(gif) as im:
+        assert im.n_frames == 3
+        w, h = im.size
+        assert w == 200 and 20 <= h <= 400
+        mins, means = [], []
+        for i in range(im.n_frames):
+            im.seek(i)
+            l = np.asarray(im.convert("L"), dtype=np.float64)
+            mins.append(l.min())
+            means.append(l.mean())
+        # keyframes carry drawn strokes: dark pixels on a light background
+        assert mins[0] < 128 and mins[2] < 128, mins
+        assert means[0] > 128 and means[2] > 128, means
+
+
 def test_interpolate_without_session_is_a_clean_400(server):
     code, res = server("/api/interpolate")
     assert code == 400
