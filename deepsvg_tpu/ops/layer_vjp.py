@@ -3,10 +3,13 @@
 Extends the fused inference layer (ops/layer.py) to training: ONE kernel for
 the whole layer forward — LN1 -> attention (prob dropout) -> residual dropout
 -> residual -> [per-sequence injection] -> LN2 -> FF (hidden + output dropout)
--> residual — and ONE kernel for its backward. Nothing but the layer inputs is
-saved between forward and backward (flash-style: the backward recomputes every
-intermediate in VMEM), so the training step's LN/FF/residual HBM round-trips
-(docs/PERFORMANCE.md "Kernel-level findings") disappear in both directions.
+-> residual — and ONE kernel for its backward. By default nothing but the
+layer inputs is saved between forward and backward (flash-style: the backward
+recomputes every intermediate in VMEM), so the training step's LN/FF/residual
+HBM round-trips (docs/PERFORMANCE.md "Kernel-level findings") disappear in
+both directions. ``save_residuals=True`` instead stashes the attention probs
+and FF hidden to HBM in the forward and skips their recompute in the backward
+(small at S=32; see fused_layer_train docstring and the r4 A/B).
 
 Dropout (reference semantics, improved_transformer.py:16-54/97-141: attention
 probabilities, attention output, FF hidden, FF output) uses the on-chip PRNG,
@@ -169,8 +172,9 @@ def _attn_fwd_batched(qkv, am, h, d_model, head_dim, scale, tile_b, seq_len):
 def _fwd_kernel(
     seed_ref, x_ref, bias_ref, ln1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     ln2_ref, w1_ref, b1_ref, w2_ref, b2_ref, mask_ref, out_ref,
+    p_ref=None, hact_ref=None,
     *, n_heads, seq_len, d_model, tile_b, causal, rate, interpret,
-    attn_rows=None, batched=False,
+    attn_rows=None, batched=False, save=False,
 ):
     head_dim = d_model // n_heads
     rows = tile_b * seq_len
@@ -196,6 +200,9 @@ def _fwd_kernel(
         for h in range(n_heads):
             _, _, vb, p = _attn_fwd_batched(qkv, am, h, d_model, head_dim,
                                             scale, tile_b, seq_len)
+            if save:
+                p_ref[:, h * seq_len:(h + 1) * seq_len] = (
+                    p.reshape(rows, seq_len).astype(p_ref.dtype))
             if rate > 0.0:
                 keep = _site_mask((rows, seq_len), rate, interpret, seed_val,
                                   pid, h)
@@ -221,6 +228,10 @@ def _fwd_kernel(
             for h in range(n_heads):
                 _, _, v, p = _attn_fwd_head(qkv, bm, h, d_model, head_dim,
                                             scale, r0, attn_rows)
+                if save:
+                    p_ref[r0:r0 + attn_rows,
+                          h * attn_rows:(h + 1) * attn_rows] = (
+                        p.astype(p_ref.dtype))
                 if rate > 0.0:
                     p = p * _site_mask(p.shape, rate, interpret, seed_val, pid,
                                        h * n_blocks + bi) * kp
@@ -246,6 +257,8 @@ def _fwd_kernel(
     hpre = jnp.dot(xn2, w1_ref[:], preferred_element_type=jnp.float32)
     hpre = hpre + b1_ref[:].astype(jnp.float32)
     h_act = jnp.maximum(hpre, 0.0)
+    if save:
+        hact_ref[:] = h_act.astype(hact_ref.dtype)
     if rate > 0.0:
         h_act = h_act * _site_mask(
             h_act.shape, rate, interpret, seed_val, pid, _SITE_FF_HIDDEN
@@ -258,14 +271,32 @@ def _fwd_kernel(
     out_ref[:] = (x1 + f).astype(dtype).reshape(tile_b, seq_len, d_model)
 
 
+def _bwd_kernel_saved(
+    seed_ref, x_ref, bias_ref, ln1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    ln2_ref, w1_ref, b1_ref, w2_ref, b2_ref, mask_ref, g_ref,
+    p_sav_ref, hact_sav_ref,
+    dx_ref, dbias_ref, dln1_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
+    dln2_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, **kw,
+):
+    """Positional adapter: the save-mode backward takes the two residual
+    operands (attention probs, FF hidden) between ``g`` and the outputs."""
+    _bwd_kernel(
+        seed_ref, x_ref, bias_ref, ln1_ref, wqkv_ref, bqkv_ref, wo_ref,
+        bo_ref, ln2_ref, w1_ref, b1_ref, w2_ref, b2_ref, mask_ref, g_ref,
+        dx_ref, dbias_ref, dln1_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
+        dln2_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+        p_sav_ref=p_sav_ref, hact_sav_ref=hact_sav_ref, **kw)
+
+
 def _bwd_kernel(
     seed_ref, x_ref, bias_ref, ln1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     ln2_ref, w1_ref, b1_ref, w2_ref, b2_ref, mask_ref, g_ref,
     dx_ref, dbias_ref, dln1_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
     dln2_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
     *, n_heads, seq_len, d_model, tile_b, causal, rate, interpret,
-    attn_rows=None, batched=False,
+    attn_rows=None, batched=False, p_sav_ref=None, hact_sav_ref=None,
 ):
+    save = p_sav_ref is not None
     head_dim = d_model // n_heads
     rows = tile_b * seq_len
     scale = head_dim ** -0.5
@@ -315,12 +346,27 @@ def _bwd_kernel(
     )
 
     if batched:
-        am = _batched_attn_mask(mask_ref, tile_b, seq_len, causal)
+        am = None if save else _batched_attn_mask(mask_ref, tile_b, seq_len,
+                                                  causal)
         ctx_heads = []
         head_cache = []  # per head: (qb, kb, vb, p_raw, keep) — rank-3
         for h in range(n_heads):
-            qb, kb, vb, p = _attn_fwd_batched(qkv, am, h, d_model, head_dim,
-                                              scale, tile_b, seq_len)
+            if save:
+                # saved attention probs: skip scores matmul + softmax
+                qb = qkv[:, h * head_dim:(h + 1) * head_dim].reshape(
+                    tile_b, seq_len, head_dim)
+                kb = qkv[:, d_model + h * head_dim:
+                         d_model + (h + 1) * head_dim].reshape(
+                    tile_b, seq_len, head_dim)
+                vb = qkv[:, 2 * d_model + h * head_dim:
+                         2 * d_model + (h + 1) * head_dim].reshape(
+                    tile_b, seq_len, head_dim)
+                p = (p_sav_ref[:, h * seq_len:(h + 1) * seq_len]
+                     .astype(f32).reshape(tile_b, seq_len, seq_len))
+            else:
+                qb, kb, vb, p = _attn_fwd_batched(qkv, am, h, d_model,
+                                                  head_dim, scale, tile_b,
+                                                  seq_len)
             keep = (
                 _site_mask((rows, seq_len), rate, interpret, seed_val, pid, h)
                 .reshape(tile_b, seq_len, seq_len)
@@ -338,12 +384,23 @@ def _bwd_kernel(
         ctx_blocks = []
         block_cache = []  # per sub-block: per-head (q, k, v, p_raw, keep)
         for bi, r0 in enumerate(range(0, rows, attn_rows)):
-            bm = _big_mask(mask_ref, r0, attn_rows, seq_len, causal)
+            bm = (None if save
+                  else _big_mask(mask_ref, r0, attn_rows, seq_len, causal))
             ctx_heads = []
             head_cache = []
             for h in range(n_heads):
-                q, k, v, p = _attn_fwd_head(qkv, bm, h, d_model, head_dim,
-                                            scale, r0, attn_rows)
+                if save:
+                    rr = slice(r0, r0 + attn_rows)
+                    q = qkv[rr, h * head_dim:(h + 1) * head_dim]
+                    k = qkv[rr, d_model + h * head_dim:
+                            d_model + (h + 1) * head_dim]
+                    v = qkv[rr, 2 * d_model + h * head_dim:
+                            2 * d_model + (h + 1) * head_dim]
+                    p = p_sav_ref[rr, h * attn_rows:(h + 1) * attn_rows
+                                  ].astype(f32)
+                else:
+                    q, k, v, p = _attn_fwd_head(qkv, bm, h, d_model, head_dim,
+                                                scale, r0, attn_rows)
                 keep = (
                     _site_mask(p.shape, rate, interpret, seed_val, pid,
                                h * n_blocks + bi)
@@ -371,9 +428,14 @@ def _bwd_kernel(
     ln2 = ln2_ref[:].astype(f32)
     _, xh2, r2 = _ln_fwd(x1, ln2[0:1], ln2[1:2])
     xn2 = (xh2 * ln2[0:1] + ln2[1:2]).astype(dtype)
-    hpre = jnp.dot(xn2, w1_ref[:], preferred_element_type=f32)
-    hpre = hpre + b1_ref[:].astype(f32)
-    h_act = jnp.maximum(hpre, 0.0)
+    if save:
+        # saved FF hidden: skip the [rows, D] @ [D, dff] recompute matmul.
+        # ReLU mask below uses h_act > 0, identical to hpre > 0.
+        h_act = hact_sav_ref[:].astype(f32)
+    else:
+        hpre = jnp.dot(xn2, w1_ref[:], preferred_element_type=f32)
+        hpre = hpre + b1_ref[:].astype(f32)
+        h_act = jnp.maximum(hpre, 0.0)
     hd = h_act * m_hid * kp if rate > 0.0 else h_act
     hd16 = hd.astype(dtype)
 
@@ -389,7 +451,7 @@ def _bwd_kernel(
     db2_ref[:] += jnp.sum(df, axis=0, keepdims=True)
     dhd = jnp.dot(df16, w2_ref[:].T, preferred_element_type=f32)
     dh = dhd * m_hid * kp if rate > 0.0 else dhd
-    dhpre = jnp.where(hpre > 0.0, dh, 0.0)
+    dhpre = jnp.where(h_act > 0.0, dh, 0.0)
     dhpre16 = dhpre.astype(dtype)
     dw1_ref[:] += jax.lax.dot_general(
         xn2, dhpre16, (((0,), (0,)), ((), ())), preferred_element_type=f32
@@ -500,14 +562,32 @@ def _full(shape):
 
 def _layer_fwd_call(seed, x, bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
                     b2, mask, n_heads, tile_b, causal, rate, interpret,
-                    attn_rows=None, batched=False):
+                    attn_rows=None, batched=False, save=False):
     b, s, d = x.shape
+    dff = w1.shape[-1]
     rows = tile_b * s
     kernel = functools.partial(
         _fwd_kernel, n_heads=n_heads, seq_len=s, d_model=d, tile_b=tile_b,
         causal=causal, rate=rate, interpret=interpret, attn_rows=attn_rows,
-        batched=batched,
+        batched=batched, save=save,
     )
+    out_specs = pl.BlockSpec((tile_b, s, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, s, d), x.dtype)
+    if save:
+        # residual saves: pre-dropout attention probs (packed rows x
+        # heads*key-width) + pre-dropout FF hidden, in the activation dtype
+        p_width = (n_heads * s if batched
+                   else n_heads * (attn_rows or _auto_attn_rows(tile_b, s)))
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((rows, p_width), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, dff), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((b * s, p_width), x.dtype),
+            jax.ShapeDtypeStruct((b * s, dff), x.dtype),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b // tile_b,),
@@ -521,13 +601,13 @@ def _layer_fwd_call(seed, x, bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
              if batched else
              pl.BlockSpec((1, 1, rows), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)),
         ],
-        out_specs=pl.BlockSpec((tile_b, s, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=out_specs,
     )
     mask3 = (mask.reshape(b // tile_b, tile_b, s) if batched
              else mask.reshape(b // tile_b, 1, rows))
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
     )(seed, x, bias.reshape(b, 1, d), ln1, wqkv, bqkv, wo, bo, ln2, w1, b1,
@@ -536,15 +616,27 @@ def _layer_fwd_call(seed, x, bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
 
 def _layer_bwd_call(seed, x, bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
                     b2, mask, g, n_heads, tile_b, causal, rate, interpret,
-                    attn_rows=None, batched=False):
+                    attn_rows=None, batched=False, saved=None):
     b, s, d = x.shape
     dff = w1.shape[-1]
     rows = tile_b * s
     kernel = functools.partial(
-        _bwd_kernel, n_heads=n_heads, seq_len=s, d_model=d, tile_b=tile_b,
+        _bwd_kernel_saved if saved is not None else _bwd_kernel,
+        n_heads=n_heads, seq_len=s, d_model=d, tile_b=tile_b,
         causal=causal, rate=rate, interpret=interpret, attn_rows=attn_rows,
         batched=batched,
     )
+    saved_specs = []
+    saved_ops = ()
+    if saved is not None:
+        p_sav, hact_sav = saved
+        saved_specs = [
+            pl.BlockSpec((rows, p_sav.shape[-1]), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, dff), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        saved_ops = (p_sav, hact_sav)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b // tile_b,),
@@ -558,6 +650,7 @@ def _layer_bwd_call(seed, x, bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
              if batched else
              pl.BlockSpec((1, 1, rows), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)),
             pl.BlockSpec((tile_b, s, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            *saved_specs,
         ],
         out_specs=[
             pl.BlockSpec((tile_b, s, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -588,13 +681,14 @@ def _layer_bwd_call(seed, x, bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
     )(seed, x, bias.reshape(b, 1, d), ln1, wqkv, bqkv, wo, bo, ln2, w1, b1,
       w2, b2,
       (mask.reshape(b // tile_b, tile_b, s) if batched
-       else mask.reshape(b // tile_b, 1, rows)), g)
+       else mask.reshape(b // tile_b, 1, rows)), g, *saved_ops)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18, 19))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(14, 15, 16, 17, 18, 19, 20))
 def fused_layer_train(x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
                       b2, mask, seed, n_heads, tile_b, causal, dropout_rate,
-                      attn_rows=None, batched=False):
+                      attn_rows=None, batched=False, save_residuals=False):
     """Differentiable fused transformer layer (training path).
 
     ``seq_bias [B, D]`` is the pre-dropout-applied per-sequence injection
@@ -605,6 +699,14 @@ def fused_layer_train(x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
     rank-3 per-sequence attention form instead of sub-blocked 2-D scores
     (see _attn_fwd_batched; it admits 1024-row dense tiles and removes the
     cross-sequence score waste — measured faster at flagship shapes).
+    ``save_residuals=True`` saves the pre-dropout attention probs and FF
+    hidden to HBM in the forward and reuses them in the backward instead of
+    the default flash-style full recompute — at S=32 the residuals are small
+    (B*S x H*S + B*S x dff in the activation dtype), so trading that HBM
+    round-trip for the backward's scores+softmax+FF-hidden recompute can win
+    (VERDICT r3 #1a save-vs-recompute A/B). The saved tensors round through
+    the activation dtype (bf16 on chip), a tolerance-level numerics change
+    vs the exact f32 recompute.
     """
     interpret = jax.default_backend() == "cpu"
     return _layer_fwd_call(seed, x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2,
@@ -614,24 +716,33 @@ def fused_layer_train(x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2,
 
 def _rule_fwd(x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2,
               mask, seed, n_heads, tile_b, causal, dropout_rate,
-              attn_rows=None, batched=False):
-    out = fused_layer_train(x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1,
-                            b1, w2, b2, mask, seed, n_heads, tile_b, causal,
-                            dropout_rate, attn_rows, batched)
+              attn_rows=None, batched=False, save_residuals=False):
+    interpret = jax.default_backend() == "cpu"
+    if save_residuals:
+        out, p_sav, hact_sav = _layer_fwd_call(
+            seed, x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2,
+            mask, n_heads, tile_b, causal, dropout_rate, interpret,
+            attn_rows, batched, save=True)
+    else:
+        out = fused_layer_train(x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2,
+                                w1, b1, w2, b2, mask, seed, n_heads, tile_b,
+                                causal, dropout_rate, attn_rows, batched)
+        p_sav = hact_sav = None
     return out, (x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2,
-                 mask, seed)
+                 mask, seed, p_sav, hact_sav)
 
 
 def _rule_bwd(n_heads, tile_b, causal, dropout_rate, attn_rows, batched,
-              res, g):
+              save_residuals, res, g):
     (x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2, mask,
-     seed) = res
+     seed, p_sav, hact_sav) = res
     interpret = jax.default_backend() == "cpu"
     (dx, dbias, dln1, dwqkv, dbqkv, dwo, dbo, dln2, dw1, db1, dw2,
      db2) = _layer_bwd_call(
         seed, x, seq_bias, ln1, wqkv, bqkv, wo, bo, ln2, w1, b1, w2, b2,
         mask, g, n_heads, tile_b, causal, dropout_rate, interpret, attn_rows,
         batched,
+        saved=(p_sav, hact_sav) if save_residuals else None,
     )
     float0 = jax.dtypes.float0
     return (

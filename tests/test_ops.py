@@ -692,6 +692,51 @@ class TestFusedLayerTrain:
                 err_msg=f"grad mismatch (batched, causal={causal}): {n}",
             )
 
+    @pytest.mark.parametrize("batched", [False, True])
+    @pytest.mark.parametrize("rate", [0.0, 0.3])
+    def test_save_residuals_matches_recompute(self, rng, batched, rate):
+        """save_residuals=True (forward stashes pre-dropout attention probs +
+        FF hidden; backward reads them instead of recomputing): output and
+        every gradient must match the default recompute path. On CPU the
+        saves round through f32 (the activation dtype here), so agreement is
+        exact up to f32 accumulation noise. Covers both kernel forms and
+        dropout on/off (the keep-masks are PRNG-regenerated per site, so they
+        must agree across modes by construction)."""
+        from deepsvg_tpu.ops.layer_vjp import fused_layer_train
+
+        b, s, tile_b = 16, 8, 8
+        args = self._inputs(rng, b=b, s=s)
+        mask = np.zeros((b, s), np.float32)
+        mask[:, 6:] = -np.inf
+        mask = jnp.asarray(mask)
+        seed = jnp.asarray([3], jnp.int32)
+
+        def loss(save):
+            def f(*a):
+                return jnp.sum(
+                    fused_layer_train(*a, mask, seed, 4, tile_b, False,
+                                      rate, None, batched, save) ** 2)
+            return f
+
+        out_r = fused_layer_train(*args, mask, seed, 4, tile_b, False, rate,
+                                  None, batched, False)
+        out_s = fused_layer_train(*args, mask, seed, 4, tile_b, False, rate,
+                                  None, batched, True)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r),
+                                   atol=1e-6)
+
+        argnums = tuple(range(12))
+        g_r = jax.grad(loss(False), argnums=argnums)(*args)
+        g_s = jax.grad(loss(True), argnums=argnums)(*args)
+        names = ["x", "bias", "ln1", "wqkv", "bqkv", "wo", "bo", "ln2",
+                 "w1", "b1", "w2", "b2"]
+        for n, a, b_ in zip(names, g_s, g_r):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-5,
+                err_msg=f"grad mismatch (save, batched={batched}, "
+                        f"rate={rate}): {n}",
+            )
+
     def test_batched_dropout_mask_consistent_fwd_bwd(self, rng):
         """With dropout on, the batched-form fwd and bwd kernels must draw the
         SAME masks. Checked against a pure-JAX replica of the batched forward
