@@ -197,7 +197,11 @@ class _TransformerLayerBase(nn.Module):
         Pallas kernels with in-kernel dropout (attention probabilities,
         attention output, FF hidden, FF output — the reference's four sites).
         ``seq_bias [B, D]`` carries the per-sequence injections, dropout
-        already applied (their weight grads flow through this op's VJP)."""
+        already applied (their weight grads flow through this op's VJP).
+        The backward reuses HBM-saved attention probs + FF hidden by default
+        (ops.layer_vjp.SAVE_RESIDUALS_DEFAULT; measured 15% faster per layer
+        than the flash-style recompute at S=32, docs/save_recompute_ab.json)."""
+        from ..ops import layer_vjp
         from ..ops.attention import pick_tile_b
         from ..ops.layer_vjp import fused_layer_train
 
@@ -223,6 +227,7 @@ class _TransformerLayerBase(nn.Module):
             p["wo"], p["bo"], p["norm2"], p["ff1_kernel"], p["ff1_bias"],
             p["ff2_kernel"], p["ff2_bias"], mask, seed,
             self.n_heads, pick_tile_b(b, s), causal, rate,
+            None, False, layer_vjp.SAVE_RESIDUALS_DEFAULT,
         )
         return out[:, :s_orig, :]
 

@@ -31,6 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-5
 
+# Production default for the model's fused train path (layers.py
+# _fused_train_layer): save-residuals beat full recompute in the r4 on-chip
+# A/B (docs/save_recompute_ab.json: 2.140 -> 1.824 ms/layer fwd+bwd at
+# dropout 0.1, flagship shapes; forward +0.005 ms). Module-level so tests
+# and experiments can monkeypatch the old flash-style behavior back on.
+SAVE_RESIDUALS_DEFAULT = True
+
 # dropout site ids (anything distinct — they only salt the PRNG re-seed;
 # attention-probability sites use h * n_blocks + bi which stays < 2**16)
 _SITE_ATTN_OUT = 1 << 16

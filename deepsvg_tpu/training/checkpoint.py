@@ -83,6 +83,27 @@ def latest_ckpt(checkpoint_dir: str) -> Optional[str]:
     return files[-1] if files else None
 
 
+def prune_ckpts(checkpoint_dir: str, keep_last: Optional[int],
+                keep_every: Optional[int] = None) -> list:
+    """Retention policy for long runs (the reference keeps every checkpoint;
+    at its 50-epoch icons recipe that is ~833 x 41 MB = 34 GB). Keeps the
+    newest ``keep_last`` step checkpoints plus every step that is a multiple
+    of ``keep_every`` (periodic milestones for post-hoc curve evals);
+    ``best.ckpt`` is never touched. ``keep_last=None`` disables pruning
+    (reference behavior). Returns the deleted paths."""
+    if keep_last is None:
+        return []
+    files = sorted(glob.glob(os.path.join(checkpoint_dir, "[0-9]" * 6 + ".ckpt")))
+    deleted = []
+    for path in files[: max(len(files) - max(keep_last, 1), 0)]:
+        step = int(os.path.basename(path).split(".")[0])
+        if keep_every and step % keep_every == 0:
+            continue
+        os.remove(path)
+        deleted.append(path)
+    return deleted
+
+
 def load_ckpt(
     path_or_dir: str,
     state_template,

@@ -64,6 +64,10 @@ class TrainConfig:
         self.log_every = 20
         self.val_every = 1000
         self.ckpt_every = 1000
+        # retention (no reference equivalent — it keeps every checkpoint;
+        # ~34 GB over the 50-epoch icons recipe). None = keep all.
+        self.ckpt_keep_last: Optional[int] = None
+        self.ckpt_keep_every: Optional[int] = None
 
         self.stats_to_print = {"train": ["lr", "time"]}
 

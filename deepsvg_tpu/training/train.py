@@ -20,7 +20,7 @@ import numpy as np
 
 from ..data.loader import DataLoader, prefetch_to_device
 from ..parallel.mesh import make_mesh, make_parallel_train_step
-from .checkpoint import load_ckpt, save_ckpt
+from .checkpoint import load_ckpt, prune_ckpts, save_ckpt
 from .config import TrainConfig, load_config
 from .stats import Stats, Timer, TrainVars
 from .trainer import create_train_state, jit_train_step
@@ -378,6 +378,8 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
 
             if not debug and step % ckpt_every == 0:
                 save_ckpt(checkpoint_dir, state, cfg, stats, train_vars)
+                prune_ckpts(checkpoint_dir, cfg.ckpt_keep_last,
+                            cfg.ckpt_keep_every)
 
             if done:
                 break

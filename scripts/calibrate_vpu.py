@@ -40,7 +40,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ROWS = 256          # packed rows per tile, the production tile_b=8 x S=32
 LANES = 256         # d_model; softmax runs at the score width it sees (S-pad)
 N_TILES = 128       # whole-grid measurement: B*S rows / ROWS at flagship
-K_LO, K_HI = 1, 17
+# wide K span: the slope signal must clear the axon relay's per-call timing
+# noise (~1 ms jitter even min-of-8: K=1..17 measured NEGATIVE slopes, and
+# K=4..132's ~1.6 ms of LN signal was still unstable). The chain runs as an
+# in-kernel lax.fori_loop so 2048 applications (~50 ms of signal) compile
+# without unrolling.
+K_LO, K_HI = 16, 2064
 
 
 def main():
@@ -61,8 +66,7 @@ def main():
         and applies ``body_k`` k times, chained."""
         def kernel(x_ref, o_ref):
             x = x_ref[:].astype(jnp.float32)
-            for i in range(k):
-                x = body_k(x, i)
+            x = jax.lax.fori_loop(0, k, lambda i, v: body_k(v, i), x)
             o_ref[:] = x.astype(o_ref.dtype)
 
         return pl.pallas_call(
@@ -77,7 +81,7 @@ def main():
             interpret=interpret,
         )
 
-    def slope_ms(body_k, lanes, reps=5):
+    def slope_ms(body_k, lanes, reps=8):
         x = jnp.asarray(np.random.default_rng(0).standard_normal(
             (N_TILES * ROWS, lanes)) * 0.5, jnp.bfloat16)
         f_lo = jax.jit(run_kernel(body_k, lanes, K_LO))
@@ -98,18 +102,18 @@ def main():
     # would be captured constants, which pallas_call rejects)
     # --- LayerNorm forward: one application over (ROWS, LANES) -------------
     def ln_fwd_body(x, i):
-        out, _, _ = _ln_fwd(x + np.float32(i) * 1e-3, 1.0, 0.0)
+        out, _, _ = _ln_fwd(x + i * jnp.float32(1e-3), 1.0, 0.0)
         return out
 
     # --- LayerNorm fwd+bwd math (what the recomputing backward pays) -------
     def ln_fwdbwd_body(x, i):
-        out, xhat, rstd = _ln_fwd(x + np.float32(i) * 1e-3, 1.0, 0.0)
+        out, xhat, rstd = _ln_fwd(x + i * jnp.float32(1e-3), 1.0, 0.0)
         dx, _, _ = _ln_bwd(out, xhat, rstd, 1.0)
         return dx
 
     # --- softmax forward over the last dim (guarded, like the kernels) -----
     def softmax_body(x, i):
-        s = x + np.float32(i) * 1e-3
+        s = x + i * jnp.float32(1e-3)
         m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), -1e30)
         e = jnp.exp(s - m)
         return e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
@@ -150,8 +154,8 @@ def main():
     def dropout_kernel(k):
         def kernel(seed_ref, x_ref, o_ref):
             pid = pl.program_id(0)
-            x = x_ref[:].astype(jnp.float32)
-            for i in range(k):
+
+            def draw(i, x):
                 if interpret:
                     r = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
                     c = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
@@ -165,7 +169,9 @@ def main():
                     top24 = pltpu.bitcast(
                         pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32)
                     u = top24.astype(jnp.float32) * (1.0 / (1 << 24))
-                x = x * (u >= 0.1).astype(jnp.float32) * (1.0 / 0.9)
+                return x * (u >= 0.1).astype(jnp.float32) * (1.0 / 0.9)
+
+            x = jax.lax.fori_loop(0, k, draw, x_ref[:].astype(jnp.float32))
             o_ref[:] = x.astype(o_ref.dtype)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -192,7 +198,7 @@ def main():
     float(jnp.sum(f_lo(seed, x).astype(jnp.float32)))
     float(jnp.sum(f_hi(seed, x).astype(jnp.float32)))
     b_lo = b_hi = float("inf")
-    for _ in range(5):
+    for _ in range(8):
         t0 = time.perf_counter()
         float(jnp.sum(f_lo(seed, x).astype(jnp.float32)))
         b_lo = min(b_lo, time.perf_counter() - t0)

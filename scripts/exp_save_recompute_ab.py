@@ -65,7 +65,9 @@ def main():
     # ---- correctness gate: save-mode grads match recompute-mode ------------
     out = {}
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(3,))
     def grads_of(xx, bb, ws, save):
         def loss(xx, bb, ws):
             return jnp.sum(layer(xx, bb, ws, 0.1, save)

@@ -65,6 +65,13 @@ def main():
     ap.add_argument("--config", default="configs_tpu.hierarchical_ordered")
     ap.add_argument("--log-dir", default="/tmp/scale_rehearsal")
     ap.add_argument("--out", default="docs/scale_rehearsal.json")
+    ap.add_argument("--run-name", default="scale_rehearsal")
+    ap.add_argument("--tag", default="r03")
+    ap.add_argument("--keep-last", type=int, default=None,
+                    help="checkpoint retention: keep newest N "
+                         "(cfg.ckpt_keep_last); None keeps all")
+    ap.add_argument("--keep-every", type=int, default=None,
+                    help="also keep step multiples of this")
     args = ap.parse_args()
 
     from deepsvg_tpu.data.synthetic import SyntheticAugmentedCorpus
@@ -86,6 +93,8 @@ def main():
     # the recipe prints lr/time only (reference config.py stats_to_print);
     # add loss so the run log carries the curve for the report
     cfg.stats_to_print["train"] = ["loss", "lr", "time"]
+    cfg.ckpt_keep_last = args.keep_last
+    cfg.ckpt_keep_every = args.keep_every
     steps_per_epoch = len(dataset) // cfg.batch_size
 
     print(f"[2/3] training {args.max_steps} steps through train() "
@@ -95,7 +104,7 @@ def main():
     sys.stdout = tee
     t0 = time.time()
     try:
-        state, stats = train(cfg, "scale_rehearsal", "r03",
+        state, stats = train(cfg, args.run_name, args.tag,
                              log_dir=args.log_dir, dataset=dataset,
                              max_steps=args.max_steps)
     finally:
@@ -118,8 +127,11 @@ def main():
         {"step": int(s), "loss": float(l)}
         for s, l in re.findall(r"step (\d+)/\S+.*?loss: ([\d.]+)", log)
     ]
+    if len(curve) > 2000:  # full-recipe runs log ~40k windows; thin the
+        keep = max(len(curve) // 2000, 1)  # report but keep the endpoints
+        curve = curve[::keep] + curve[-1:]
     ckpts = sorted(os.listdir(os.path.join(
-        args.log_dir, "models", "scale_rehearsal", "r03")))
+        args.log_dir, "models", args.run_name, args.tag)))
 
     import jax
 

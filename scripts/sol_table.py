@@ -40,7 +40,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PEAK_MXU = 197e12       # v5e bf16 FLOPs/s
 PEAK_HBM = 819e9        # v5e bytes/s
-PEAK_VPU = 4e12         # elementwise ops/s, order-of-magnitude estimate
+PEAK_VPU = 4e12         # elementwise ops/s, fallback estimate (see CAL)
+
+# measured per-element VPU costs (scripts/calibrate_vpu.py — LN/softmax/
+# dropout microbenches at the training tile shapes); replaces the 4e12
+# guess when docs/vpu_calibration.json exists (VERDICT r3 #1b)
+_CAL_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "vpu_calibration.json")
+CAL = json.load(open(_CAL_PATH)) if os.path.exists(_CAL_PATH) else None
 
 # flagship training shapes
 B = 128
@@ -92,8 +99,30 @@ def stack_floors(tokens, attn_len, n_layers, dz_inject=0, dropout=True,
         vpu += n_layers * 34 * (2 * tokens * D + tokens * DFF)
     if train:
         vpu *= 2.5   # backward re-runs LN/softmax/dropout-mask math
-    return floors(n_layers * tokens * dense_pt, n_layers * tokens * attn_pt,
-                  act, w, vpu, train)
+    fl = floors(n_layers * tokens * dense_pt, n_layers * tokens * attn_pt,
+                act, w, vpu, train)
+    if CAL is not None:
+        # measured VPU time: per layer, 2 LNs over tokens*D (fwd kernel pays
+        # a fwd; the bwd kernel recomputes both LNs AND takes their grads),
+        # softmax over tokens*attn_len*H scores (fwd + the bwd's ds math;
+        # with save-residuals the bwd skips the softmax recompute), dropout
+        # masks drawn in fwd and regenerated in bwd over the four sites
+        # (attn probs, attn out, FF hidden, FF out)
+        ln_e = n_layers * tokens * D * 2
+        sm_e = n_layers * tokens * attn_len * H
+        do_e = n_layers * (2 * tokens * D + tokens * DFF
+                           + tokens * attn_len * H)
+        t = ln_e * CAL["ln_fwd_ns_per_elem"]
+        t += sm_e * CAL["softmax_fwd_ns_per_elem"]
+        if train:
+            t += ln_e * CAL["ln_fwdbwd_ns_per_elem"]
+            t += sm_e * (CAL["softmax_fwdbwd_ns_per_elem"]
+                         - CAL["softmax_fwd_ns_per_elem"])
+            if dropout:
+                t += 2 * do_e * CAL["dropout_mask_ns_per_elem"]
+        fl["vpu_cal_ms"] = t * 1e-9 * 1e3
+        fl["floor_ms"] = max(fl["mxu_ms"], fl["hbm_ms"], fl["vpu_cal_ms"])
+    return fl
 
 
 def main():
@@ -134,9 +163,10 @@ def main():
              **{k: round(v, 3) for k, v in fl.items()}, "note": note}
         r["x_floor"] = round(r["measured_ms"] / max(r["floor_ms"], 1e-9), 2)
         rows.append(r)
+        cal = (f" vpuCAL {r['vpu_cal_ms']:5.3f}" if "vpu_cal_ms" in r else "")
         print(f"{name:22s} {r['measured_ms']:7.3f} ms   floor "
               f"{r['floor_ms']:6.3f} (mxu {r['mxu_ms']:5.3f} hbm "
-              f"{r['hbm_ms']:5.3f} vpu~{r['vpu_ms']:5.3f})  "
+              f"{r['hbm_ms']:5.3f} vpu~{r['vpu_ms']:5.3f}{cal})  "
               f"x{r['x_floor']:.2f}  {note}")
 
     # ---- full train step --------------------------------------------------
@@ -290,6 +320,7 @@ def main():
            "assumptions": {
                "peak_mxu_flops": PEAK_MXU, "peak_hbm_Bps": PEAK_HBM,
                "peak_vpu_ops_estimate": PEAK_VPU,
+               "vpu_calibrated": CAL is not None,
                "train_mults": "dense x3, attention x3.5 x4(head_dim=32)",
                "act_passes_train": 6, "dropout_ops_per_elem": 34}}
     with open("docs/sol_table.json", "w") as f:

@@ -76,3 +76,23 @@ class TestEditableInstall:
         py = os.path.join(venv, "bin", "python")
         r = _run(venv, [py, os.path.join(REPO, "examples", "01_svglib_tour.py")])
         assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+
+
+class TestRealParityRunbook:
+    def test_dry_run_wiring(self, tmp_path):
+        """scripts/run_real_parity.sh --dry-run: the one-command runbook for
+        the env-blocked validations (published checkpoints, real corpora)
+        must execute end to end with stubbed artifacts — every data step
+        reports SKIP and the script exits 0, so a networked host can run the
+        full version with zero archaeology."""
+        import subprocess
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            ["bash", "scripts/run_real_parity.sh", "--dry-run"],
+            cwd=repo, capture_output=True, text=True, timeout=120,
+            env={**os.environ, "REAL_PARITY_ART": str(tmp_path)},
+        )
+        assert r.returncode == 0, r.stderr
+        assert r.stdout.count("SKIP") == 3
+        assert "dry-run: wiring verified" in r.stdout

@@ -249,6 +249,25 @@ class TestCheckpoint:
         save_ckpt(str(tmp_path), state.replace(step=state.step + 9), cfg)
         assert latest_ckpt(str(tmp_path)).endswith("000009.ckpt")
 
+    def test_prune_retention(self, tmp_path):
+        """prune_ckpts: keeps the newest keep_last + keep_every milestones,
+        never best.ckpt; keep_last=None is a no-op (reference keep-all)."""
+        from deepsvg_tpu.training.checkpoint import prune_ckpts
+
+        cfg, state = self._make_state()
+        for step in (1000, 2000, 2500, 3000, 3500, 4000):
+            save_ckpt(str(tmp_path), state.replace(step=step), cfg)
+
+        assert prune_ckpts(str(tmp_path), None) == []
+        deleted = prune_ckpts(str(tmp_path), keep_last=2, keep_every=2000)
+        names = sorted(os.path.basename(p) for p in deleted)
+        assert names == ["001000.ckpt", "002500.ckpt", "003000.ckpt"]
+        kept = sorted(os.listdir(tmp_path))
+        assert kept == ["002000.ckpt", "003500.ckpt",
+                        "004000.ckpt", "best.ckpt"]
+        # resume still finds the newest survivor
+        assert latest_ckpt(str(tmp_path)).endswith("004000.ckpt")
+
     def test_weights_only(self, tmp_path):
         cfg, state = self._make_state()
         p = str(tmp_path / "weights.bin")
