@@ -21,6 +21,16 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor JAX_PLATFORMS before first backend use: the ambient sitecustomize
+# registers a remote-TPU plugin and re-points jax_platforms at it, so the
+# env var alone is ignored — and when the relay is down, backend init HANGS
+# (docs/NOTES.md). jax.config.update before first use is the only override
+# that works.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def iter_batches(dataset, cfg, n, batch_size, seed=1234):
     """Deterministic held-out slice: the LAST ``n`` indices of the dataset

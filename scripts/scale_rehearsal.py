@@ -72,6 +72,9 @@ def main():
                          "(cfg.ckpt_keep_last); None keeps all")
     ap.add_argument("--keep-every", type=int, default=None,
                     help="also keep step multiples of this")
+    ap.add_argument("--resume", action="store_true", default=False,
+                    help="resume from the latest checkpoint under --log-dir "
+                         "(relay-outage recovery for multi-hour runs)")
     args = ap.parse_args()
 
     from deepsvg_tpu.data.synthetic import SyntheticAugmentedCorpus
@@ -106,7 +109,7 @@ def main():
     try:
         state, stats = train(cfg, args.run_name, args.tag,
                              log_dir=args.log_dir, dataset=dataset,
-                             max_steps=args.max_steps)
+                             max_steps=args.max_steps, resume=args.resume)
     finally:
         sys.stdout = tee.inner
     t_train = time.time() - t0

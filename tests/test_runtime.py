@@ -689,3 +689,35 @@ class TestVisualizeHook:
         blob = b"".join(open(f, "rb").read() for f in events)
         assert b"reconstructions_train" in blob, \
             "visualize hook wrote no reconstruction image summaries"
+
+
+class TestFullRunOrchestrator:
+    def test_merge_segments(self):
+        """full_run.py merges resumable-segment reports: summed pure-train
+        wall time, concatenated curve, last segment's terminal fields."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "full_run", os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "scripts", "full_run.py"))
+        full_run = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(full_run)
+
+        seg0 = {"steps_run": 100, "wall_s_total": 10.0, "epochs_crossed": 1,
+                "curve": [{"step": 16, "loss": 13.0},
+                          {"step": 96, "loss": 9.0}],
+                "checkpoints": ["000100.ckpt"]}
+        seg1 = {"steps_run": 200, "wall_s_total": 7.5, "epochs_crossed": 1,
+                "curve": [{"step": 160, "loss": 8.0},
+                          {"step": 200, "loss": 7.0}],
+                "checkpoints": ["000100.ckpt", "000200.ckpt"]}
+        m = full_run.merge_segments([seg0, seg1])
+        assert m["steps_run"] == 200
+        assert m["attempts"] == 2
+        assert m["wall_s_total"] == 17.5
+        assert m["epochs_crossed"] == 2
+        assert [p["step"] for p in m["curve"]] == [16, 96, 160, 200]
+        assert m["loss_first"] == {"step": 16, "loss": 13.0}
+        assert m["loss_last"] == {"step": 200, "loss": 7.0}
+        assert m["checkpoints"] == ["000100.ckpt", "000200.ckpt"]
