@@ -22,6 +22,63 @@ def _ckpt_path(checkpoint_dir: str, step: int) -> str:
     return os.path.join(checkpoint_dir, f"{step:06d}.ckpt")
 
 
+# device_snapshot: jitted per-dtype leaf packers, keyed by the pytree's
+# (treedef, shapes/dtypes) signature — one compile per train-state structure
+_PACKER_CACHE: dict = {}
+
+
+def device_snapshot(tree):
+    """Fetch a jax pytree to host numpy in O(dtypes) device->host transfers
+    instead of O(leaves).
+
+    ``flax.serialization.to_bytes`` converts leaves one at a time; through a
+    remote-TPU relay each conversion is a full RPC round trip (~74 ms — see
+    docs/NOTES.md), so a ~300-leaf train state costs ~25 s per checkpoint
+    (measured, r4 full run). Instead: jit-concatenate the raveled leaves into
+    ONE contiguous device buffer per dtype, fetch each buffer with a single
+    transfer, and split host-side. Same bytes, ~2-4 RPCs.
+
+    Non-jax leaves (python ints, numpy arrays) pass through unchanged, so the
+    function is a no-op on host-only pytrees (CPU tests, already-fetched
+    states).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    dev_idx = [i for i, l in enumerate(leaves) if isinstance(l, jax.Array)]
+    if not dev_idx:
+        return tree
+
+    sig = (treedef, tuple((leaves[i].shape, str(leaves[i].dtype))
+                          for i in dev_idx))
+    cached = _PACKER_CACHE.get(sig)
+    if cached is None:
+        groups: dict = {}
+        for i in dev_idx:
+            groups.setdefault(str(leaves[i].dtype), []).append(i)
+
+        def pack(dev_leaves, _groups=groups):
+            return {dt: jnp.concatenate(
+                        [dev_leaves[i].reshape(-1) for i in idxs])
+                    for dt, idxs in _groups.items()}
+
+        cached = (jax.jit(pack), groups)
+        _PACKER_CACHE[sig] = cached
+    packer, groups = cached
+
+    host = jax.device_get(packer(leaves))
+
+    out = list(leaves)
+    for dt, idxs in groups.items():
+        buf, off = np.asarray(host[dt]), 0
+        for i in idxs:
+            n = int(np.prod(leaves[i].shape, dtype=np.int64))
+            out[i] = buf[off:off + n].reshape(leaves[i].shape)
+            off += n
+    return treedef.unflatten(out)
+
+
 def _jsonable(v):
     """JSON fallback for train_vars content (the reference pickles train_vars
     wholesale via torch.save; here arbitrary arrays degrade to nested lists —
@@ -55,7 +112,7 @@ def save_ckpt(
     step = int(state.step)
 
     payload = {
-        "state": serialization.to_bytes(state),
+        "state": serialization.to_bytes(device_snapshot(state)),
         "meta": json.dumps(
             {
                 "step": step,
@@ -74,7 +131,18 @@ def save_ckpt(
     os.replace(tmp, path)
 
     if best:
-        shutil.copyfile(path, os.path.join(checkpoint_dir, "best.ckpt"))
+        # hardlink instead of a ~120 MB copy per save: checkpoint files are
+        # write-once (atomic replace above), so sharing the inode is safe —
+        # pruning the step file later leaves best.ckpt's content intact
+        best_path = os.path.join(checkpoint_dir, "best.ckpt")
+        tmp_best = best_path + ".tmp"
+        try:
+            if os.path.lexists(tmp_best):
+                os.remove(tmp_best)
+            os.link(path, tmp_best)
+            os.replace(tmp_best, best_path)
+        except OSError:  # cross-device / FS without hardlinks
+            shutil.copyfile(path, best_path)
     return path
 
 
