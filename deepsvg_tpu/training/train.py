@@ -353,7 +353,14 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
             if max_steps is not None and step >= max_steps:
                 done = True
 
-            if step % log_every == 0:
+            # Event cadences fire on WINDOW CROSSING (step % every < K), not
+            # equality: a resumed step count is generally not a multiple of
+            # the new K (e.g. resume at 23000 with K=6 — steps 23006, 23012,
+            # ... are never ≡0 mod any K-rounded cadence), and with equality
+            # checks logging/val/checkpointing would go silent for the rest
+            # of the run while the host free-runs dispatching with no
+            # synchronization (observed live in the r4 full run).
+            if step % log_every < K:
                 if stacked_res:
                     # res values are [K]-stacked; expose the window's last step
                     res = {k: v[-1] for k, v in res.items()}
@@ -369,14 +376,14 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
                 print(stats.get_summary("train"))
                 stats.write_tensorboard(summary_writer, "train")
 
-            if step % val_every == 0:
+            if step % val_every < K:
                 timer.reset()
                 cfg.visualize(
                     model, {"params": state.params}, train_vars, step, epoch,
                     summary_writer, visualization_dir,
                 )
 
-            if not debug and step % ckpt_every == 0:
+            if not debug and step % ckpt_every < K:
                 save_ckpt(checkpoint_dir, state, cfg, stats, train_vars)
                 prune_ckpts(checkpoint_dir, cfg.ckpt_keep_last,
                             cfg.ckpt_keep_every)

@@ -27,6 +27,7 @@ with-outages).
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import subprocess
@@ -104,7 +105,11 @@ def train_with_retries(max_steps, max_attempts=60):
                "--run-name", RUN, "--tag", TAG,
                "--keep-last", "20", "--keep-every", "50000",
                "--log-dir", LOG_DIR, "--out", seg_out]
-        if attempt > 0:
+        # resume whenever a checkpoint already exists — not just on attempt>0:
+        # the orchestrator itself may be relaunched mid-run (session restart),
+        # and a fresh attempt 0 must not restart training from step 0
+        ckpt_glob = os.path.join(LOG_DIR, "models", RUN, TAG, "*.ckpt")
+        if attempt > 0 or glob.glob(ckpt_glob):
             cmd.append("--resume")
         print(f"[full_run] attempt {attempt}: {' '.join(cmd)}", flush=True)
         rc = subprocess.run(cmd).returncode

@@ -351,6 +351,25 @@ class TestTrainLoop:
         )
         assert int(state2.step) == 6
 
+    def test_resume_misaligned_step_still_checkpoints(self, tmp_path):
+        """Resuming at a step that is not a multiple of the new dispatch K
+        must keep log/val/ckpt cadences alive. Caught live in the r4 full
+        run: resume at 23000 with K=6 made every `step % every == 0` check
+        unreachable — no logs, no checkpoints, host free-running. Cadences
+        now fire on window crossing (step % every < K)."""
+        cfg = TinyConfig()
+        ds = tiny_dataset()
+        train(cfg, "tiny", "mis", log_dir=str(tmp_path), dataset=ds,
+              max_steps=5)
+        # resume: remaining budget 8 -> K=4; steps 9 and 13 are never
+        # ≡ 0 (mod ckpt_every=4)
+        state, _ = train(cfg, "tiny", "mis", log_dir=str(tmp_path),
+                         dataset=ds, resume=True, max_steps=13)
+        assert int(state.step) == 13
+        ckpt_dir = os.path.join(str(tmp_path), "models", "tiny", "mis")
+        assert os.path.exists(os.path.join(ckpt_dir, "000009.ckpt")), \
+            sorted(os.listdir(ckpt_dir))
+
     def test_profiler_trace_capture(self, tmp_path):
         """--profile equivalent: a jax.profiler device trace of steps
         [start, stop) lands under <log_dir>/profile/."""
