@@ -72,18 +72,20 @@ class Config(TrainConfig):
         from deepsvg_tpu.svglib.utils import make_grid
         from deepsvg_tpu.svgtensor import cmd_args_to_data14
 
-        if not train_vars.x_inputs_train:
+        items = [d for d in train_vars.x_inputs_train
+                 if all(k in d for k in self.model_args[:2])]
+        if not items:
             return
-        for i, data in enumerate(train_vars.x_inputs_train):
-            batched = {
-                k: jnp.asarray(np.asarray(data[k]))[None]
-                for k in self.model_args if k in data
-            }
-            args_list = [batched[k] for k in self.model_args if k in batched]
-            commands_y, args_y = greedy_sample(model, variables, *args_list[:2])
-            flat = flatten_groups_np(commands_y, args_y)
+        # ONE batched greedy_sample for all sample icons: per-icon calls
+        # cost a full relay round trip each (~1.5 s x 10 icons per val
+        # cycle measured in the r4 full run — the visualize hook was ~60%
+        # of a 26 s val stall)
+        stacked = [jnp.asarray(np.stack([np.asarray(d[k]) for d in items]))
+                   for k in self.model_args[:2]]
+        commands_y, args_y = greedy_sample(model, variables, *stacked)
+        flat = flatten_groups_np(commands_y, args_y)
+        for i, (data, (c, a)) in enumerate(zip(items, flat)):
             try:
-                c, a = flat[0]
                 data14 = cmd_args_to_data14(c, a)
                 svg_sample = (
                     SVG.from_tensor(data14, viewbox=Bbox(256), allow_empty=True)

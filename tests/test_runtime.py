@@ -1,5 +1,6 @@
 """Training runtime tests: loader, stats, checkpointing, the full config-driven
 train() loop with resume, on synthetic data."""
+import json
 import os
 
 import numpy as np
@@ -216,7 +217,33 @@ class TestCheckpoint:
         restored, found = load_ckpt(str(tmp_path), state)
         assert found
         assert int(restored.step) == 7
+        # 0-d leaves must stay 0-d (ascontiguousarray promotes to (1,) —
+        # int(jax 1-d array) then raises at the next save)
+        assert np.asarray(restored.step).ndim == 0
         for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_load_v1_npz_checkpoint(self, tmp_path):
+        """Pre-r4 checkpoints (npz + msgpack state) still load: load_ckpt
+        sniffs the v2 magic and falls back to the v1 reader."""
+        import jax
+        from flax import serialization
+
+        cfg, state = self._make_state()
+        state = state.replace(step=state.step + 5)
+        payload = {
+            "state": serialization.to_bytes(
+                jax.tree.map(np.asarray, state)),
+            "meta": json.dumps({"step": 5, "cfg": None, "stats": None,
+                                "train_vars": None}).encode(),
+        }
+        path = os.path.join(tmp_path, "000005.ckpt")
+        with open(path, "wb") as f:
+            np.savez(f, **payload)
+        restored, found = load_ckpt(path, state)
+        assert found and int(restored.step) == 5
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(restored.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_device_snapshot_matches_device_get(self):
