@@ -74,6 +74,37 @@ def wait_for_chip(probe_timeout=120, sleep_s=180, max_wait_s=6 * 3600):
     raise RuntimeError(f"chip unavailable for {max_wait_s}s")
 
 
+def curve_from_tensorboard(tb_root, tag="train/loss", max_points=2000):
+    """Reconstruct the full loss curve from TensorBoard event files — the
+    authoritative record across attempts: a segment killed mid-run (relay
+    outage, orchestrator restart) never writes its JSON report, but its TB
+    events are already on disk. Dedups by step (later attempts win), sorted;
+    downsampled to ~max_points keeping the endpoints."""
+    import glob as _glob
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    by_step = {}
+    for d in sorted(_glob.glob(os.path.join(tb_root, "*"))):
+        try:
+            ea = EventAccumulator(d, size_guidance={"scalars": 0})
+            ea.Reload()
+            if tag not in ea.Tags().get("scalars", []):
+                continue
+            for ev in ea.Scalars(tag):
+                by_step[int(ev.step)] = float(ev.value)
+        except Exception as e:  # one corrupt event file must not kill the report
+            print(f"[full_run] tb read failed for {d}: {e}", flush=True)
+    curve = [{"step": s, "loss": round(v, 5)}
+             for s, v in sorted(by_step.items())]
+    if len(curve) > max_points:
+        keep = len(curve) // max_points + 1
+        curve = curve[::keep] + curve[-1:]
+    return curve
+
+
 def merge_segments(segments):
     """Merge per-attempt scale_rehearsal reports into one run report:
     last segment's config/ckpt fields, summed pure-train wall time and
@@ -130,6 +161,13 @@ def train_with_retries(max_steps, max_attempts=60):
         raise RuntimeError(f"{max_attempts} attempts exhausted")
 
     merged = merge_segments(segments)
+    # train.py writes events under tensorboard/full/<run>_<tag>_<datetime>
+    tb_curve = curve_from_tensorboard(os.path.join(LOG_DIR, "tensorboard",
+                                                   "full"))
+    if tb_curve:  # segment reports miss killed attempts; TB has everything
+        merged["curve"] = tb_curve
+        merged["loss_first"] = tb_curve[0]
+        merged["loss_last"] = tb_curve[-1]
     merged["wall_s_with_outages"] = round(time.time() - t0, 1)
     path = os.path.join(REPO, "docs", "full_run.json")
     with open(path, "w") as f:
