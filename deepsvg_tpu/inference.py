@@ -219,11 +219,38 @@ def load_session(config_module: str, checkpoint_path: str, dataset=None,
         params = load_torch_checkpoint(checkpoint_path, model.cfg)
         return InferenceSession(model, {"params": params}, dataset=dataset, cfg=cfg)
 
-    # init to get a params template, then load weights
+    # full TRAIN checkpoints (raw-v2, params + optimizer state) are sniffed
+    # by magic and restored through a train-state template; weights-only
+    # files go through flax msgpack (load_model)
+    from .training.checkpoint import _CKPT_MAGIC
+
+    with open(checkpoint_path, "rb") as f:
+        head = f.read(len(_CKPT_MAGIC))
+    # v2 magic, or v1 train checkpoints (npz = zip magic)
+    is_train_ckpt = head == _CKPT_MAGIC or head[:4] == b"PK\x03\x04"
+
+    # init to get a params template
     from .data.synthetic import generate_batch
 
     rng = np.random.default_rng(0)
     b = generate_batch(rng, 1, model.cfg.max_num_groups, model.cfg.max_seq_len)
+    if "label" in cfg.model_args:
+        b["label"] = np.zeros((1,), np.int32)
+
+    if is_train_ckpt:
+        from .training.checkpoint import load_ckpt
+        from .training.trainer import create_train_state
+
+        batch = {k: jnp.asarray(b[k]) for k in set(cfg.model_args)}
+        # the optimizer only shapes the opt_state leaves of the template;
+        # steps_per_epoch alters the schedule function, not the state tree
+        template = create_train_state(
+            model, cfg.make_optimizer(1), batch, list(cfg.model_args))
+        state, found = load_ckpt(checkpoint_path, template)
+        assert found, checkpoint_path
+        return InferenceSession(model, {"params": state.params},
+                                dataset=dataset, cfg=cfg)
+
     tensor_args = [jnp.asarray(b[k]) for k in cfg.model_args if k != "label"]
     label = (
         jnp.zeros((1,), jnp.int32) if "label" in cfg.model_args else None

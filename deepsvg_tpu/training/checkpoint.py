@@ -273,4 +273,10 @@ def save_model(path: str, params):
 def load_model(path: str, params_template):
     """Weights-only restore (reference train_utils.py:147-156)."""
     with open(path, "rb") as f:
-        return serialization.from_bytes(params_template, f.read())
+        raw = f.read()
+    if raw[:len(_CKPT_MAGIC)] == _CKPT_MAGIC or raw[:4] == b"PK\x03\x04":
+        raise ValueError(
+            f"{path} is a full TRAIN checkpoint (params + optimizer state); "
+            "restore it with load_ckpt(path, state_template) or "
+            "inference.load_session (which sniffs the format)")
+    return serialization.from_bytes(params_template, raw)

@@ -424,3 +424,40 @@ class TestLoadSession:
         c2, _ = s2._decode(s2.variables, z=z)
         assert (np.asarray(c1) == np.asarray(c2)).all()
         sys.path.pop(0)
+
+    def test_load_session_from_full_train_checkpoint(self, tmp_path):
+        """load_session sniffs a FULL v2 train checkpoint (params + AdamW
+        state, training/checkpoint._write_ckpt_v2) and restores its params —
+        the full_run.py end-state eval path. load_model on the same file
+        must raise a format error, not mis-deserialize."""
+        import jax.numpy as jnp
+
+        from deepsvg_tpu.data.synthetic import generate_batch
+        from deepsvg_tpu.inference import load_session
+        from deepsvg_tpu.training.checkpoint import load_model, save_ckpt
+        from deepsvg_tpu.training.config import load_config
+        from deepsvg_tpu.training.trainer import create_train_state
+
+        cfg = load_config("configs_tpu.test_tiny", 1)
+        model = cfg.make_model()
+        rng = np.random.default_rng(7)
+        b = generate_batch(rng, 2, model.cfg.max_num_groups,
+                           model.cfg.max_seq_len)
+        batch = {k: jnp.asarray(b[k]) for k in set(cfg.model_args)}
+        state = create_train_state(
+            model, cfg.make_optimizer(1), batch, list(cfg.model_args),
+            seed=123)
+        ckpt_dir = str(tmp_path / "ckpts")
+        save_ckpt(ckpt_dir, state, best=False)
+        ckpt = os.path.join(ckpt_dir, "000000.ckpt")
+        assert os.path.exists(ckpt)
+
+        sess = load_session("configs_tpu.test_tiny", ckpt)
+        saved = jax.tree_util.tree_leaves(state.params)
+        loaded = jax.tree_util.tree_leaves(sess.variables["params"])
+        assert len(saved) == len(loaded)
+        for a, b2 in zip(saved, loaded):
+            assert (np.asarray(a) == np.asarray(b2)).all()
+
+        with pytest.raises(ValueError, match="TRAIN checkpoint"):
+            load_model(ckpt, state.params)
