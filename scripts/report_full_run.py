@@ -122,11 +122,14 @@ def main():
     a(f"| steps completed | **{steps:,}** "
       f"({steps/spe:.1f} epochs, {run['epochs_crossed']} epoch crossings "
       "observed) |")
-    a(f"| pure-train wall time | **{wall_pure/3600:.2f} h** "
-      f"({wall_pure:,.0f} s over {run.get('attempts', 1)} resumable "
-      "segment(s)) |")
+    est_chip_h = steps * run["step_s_sustained"] / 3600
+    a(f"| pure chip time (steps x sustained step) | **{est_chip_h:.2f} h** |")
+    a(f"| measured segment wall time | {wall_pure/3600:.2f} h over "
+      f"{run.get('attempts', 1)} clean segment(s) (killed attempts — relay "
+      "outages, session restarts — log to TB only; their wall time shows "
+      "in the row below) |")
     if wall_out:
-        a(f"| wall time incl. relay outages | {wall_out/3600:.2f} h |")
+        a(f"| final-instance wall incl. outages | {wall_out/3600:.2f} h |")
     a(f"| sustained step time | {run['step_s_sustained']*1e3:.2f} ms |")
     a(f"| sustained throughput | **{run['samples_per_s_sustained']:,.0f} "
       "samples/s/chip** |")
