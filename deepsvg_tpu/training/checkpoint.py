@@ -216,10 +216,22 @@ def prune_ckpts(checkpoint_dir: str, keep_last: Optional[int],
     if keep_last is None:
         return []
     files = sorted(glob.glob(os.path.join(checkpoint_dir, "[0-9]" * 6 + ".ckpt")))
-    deleted = []
-    for path in files[: max(len(files) - max(keep_last, 1), 0)]:
+    # Milestones: the FIRST checkpoint in each keep_every bucket. Cadences
+    # are snapped to the K-step dispatch (e.g. every 1002 steps), so steps
+    # almost never land EXACTLY on a keep_every multiple — an == 0 test
+    # would retain nothing (this deleted the 50k/100k/150k milestones of
+    # the r4 full run before being caught).
+    deleted, prev_bucket = [], None
+    last_window = set(files[max(len(files) - max(keep_last, 1), 0):])
+    for path in files:
         step = int(os.path.basename(path).split(".")[0])
-        if keep_every and step % keep_every == 0:
+        if keep_every:
+            bucket = step // keep_every
+            first_in_bucket = bucket != prev_bucket
+            prev_bucket = bucket
+            if first_in_bucket:
+                continue
+        if path in last_window:
             continue
         os.remove(path)
         deleted.append(path)

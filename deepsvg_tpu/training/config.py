@@ -68,6 +68,11 @@ class TrainConfig:
         # ~34 GB over the 50-epoch icons recipe). None = keep all.
         self.ckpt_keep_last: Optional[int] = None
         self.ckpt_keep_every: Optional[int] = None
+        # hard-exit (code 3) when the train loop stops beating for this many
+        # seconds — a wedged relay RPC hangs the main thread forever and
+        # only an orchestrator resume recovers (see train.py watchdog).
+        # None disables. Must exceed legit pauses (remote compiles 30-90 s).
+        self.stall_watchdog_s: Optional[float] = None
 
         self.stats_to_print = {"train": ["lr", "time"]}
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 from datetime import datetime
 
 import jax
@@ -285,6 +286,30 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
     # critical path. The counter syncs with device state once here (and after
     # resume) and the loop then free-runs, letting step dispatch pipeline.
     step_host = int(state.step)
+
+    # Stall watchdog (cfg.stall_watchdog_s): the axon relay can wedge a
+    # client mid-RPC — observed live in the r4 full run as a checkpoint
+    # device->host fetch hanging forever while a FRESH client probed the
+    # chip fine. A hung main thread can't time itself out, so a daemon
+    # thread hard-exits the process when the loop stops beating; the
+    # orchestrator (scripts/full_run.py) sees the non-zero exit and resumes
+    # from the latest checkpoint. Threshold must exceed legit pauses
+    # (remote compiles 30-90 s, first visualize cycle, checkpoint saves).
+    beat = {"t": time.time(), "step": step_host}
+    if getattr(cfg, "stall_watchdog_s", None):
+        import threading
+
+        def _watchdog(limit=float(cfg.stall_watchdog_s)):
+            while True:
+                time.sleep(min(limit / 4, 30.0))
+                stale = time.time() - beat["t"]
+                if stale > limit:
+                    print(f"[watchdog] no loop progress for {stale:.0f}s "
+                          f"(last step {beat['step']}) — exiting 3 for the "
+                          "orchestrator to resume", flush=True)
+                    os._exit(3)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
     for epoch in epoch_range:
         if done:
             break
@@ -346,6 +371,8 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
                 weights = cfg.get_weights(step, epoch)
                 state, res = step_fn(state, batch_model, weights)
             step_host = step
+            beat["t"] = time.time()
+            beat["step"] = step
 
             if cfg.num_steps is not None and step > cfg.num_steps:
                 done = True

@@ -98,6 +98,9 @@ def main():
     cfg.stats_to_print["train"] = ["loss", "lr", "time"]
     cfg.ckpt_keep_last = args.keep_last
     cfg.ckpt_keep_every = args.keep_every
+    # wedged-relay protection: hard-exit so the orchestrator resumes
+    # (r4 full run hung forever in a checkpoint fetch without this)
+    cfg.stall_watchdog_s = 300.0
     steps_per_epoch = len(dataset) // cfg.batch_size
 
     print(f"[2/3] training {args.max_steps} steps through train() "

@@ -44,6 +44,10 @@ class TinyConfig:
         cfg.ckpt_every = 4
         cfg.warmup_steps = 2
         cfg.loader_num_workers = 1
+        # exercise the stall-watchdog thread (threshold far above any CI
+        # pause, so it never fires here — the wedged-RPC exit is by design
+        # untestable in-process)
+        cfg.stall_watchdog_s = 600.0
         cfg.get_weights = lambda step, epoch: {
             "kl_tolerance": 0.1, "loss_kl_weight": 1.0,
             "loss_visibility_weight": 1.0, "loss_cmd_weight": 1.0,
@@ -342,12 +346,38 @@ class TestCheckpoint:
         assert prune_ckpts(str(tmp_path), None) == []
         deleted = prune_ckpts(str(tmp_path), keep_last=2, keep_every=2000)
         names = sorted(os.path.basename(p) for p in deleted)
-        assert names == ["001000.ckpt", "002500.ckpt", "003000.ckpt"]
+        # milestones are the FIRST checkpoint of each keep_every bucket
+        # (1000 -> bucket 0, 2000 -> bucket 1, 4000 -> bucket 2)
+        assert names == ["002500.ckpt", "003000.ckpt"]
         kept = sorted(os.listdir(tmp_path))
-        assert kept == ["002000.ckpt", "003500.ckpt",
+        assert kept == ["001000.ckpt", "002000.ckpt", "003500.ckpt",
                         "004000.ckpt", "best.ckpt"]
         # resume still finds the newest survivor
         assert latest_ckpt(str(tmp_path)).endswith("004000.ckpt")
+
+    def test_prune_retention_misaligned_cadence(self, tmp_path):
+        """The real-run regression: the checkpoint cadence is snapped to the
+        K-step dispatch (e.g. every 1002 steps), so steps NEVER equal a
+        keep_every multiple — milestones must still be retained (first
+        checkpoint at/after each boundary), and retention must be stable
+        across repeated prunes."""
+        from deepsvg_tpu.training.checkpoint import prune_ckpts
+
+        cfg, state = self._make_state()
+        steps = list(range(1002, 13 * 1002, 1002))  # 1002 .. 12024
+        for step in steps:
+            save_ckpt(str(tmp_path), state.replace(step=step), cfg)
+
+        prune_ckpts(str(tmp_path), keep_last=3, keep_every=5000)
+        kept = sorted(p for p in os.listdir(tmp_path) if p != "best.ckpt")
+        # buckets 0/1/2 first-crossings: 1002, 5010, 10020; last 3:
+        # 10020, 11022, 12024
+        assert kept == ["001002.ckpt", "005010.ckpt", "010020.ckpt",
+                        "011022.ckpt", "012024.ckpt"]
+        # idempotent: pruning again deletes nothing
+        assert prune_ckpts(str(tmp_path), keep_last=3, keep_every=5000) == []
+        assert sorted(p for p in os.listdir(tmp_path)
+                      if p != "best.ckpt") == kept
 
     def test_weights_only(self, tmp_path):
         cfg, state = self._make_state()
