@@ -50,8 +50,12 @@ def device_snapshot(tree):
     if not dev_idx:
         return tree
 
-    sig = (treedef, tuple((leaves[i].shape, str(leaves[i].dtype))
-                          for i in dev_idx))
+    # key includes WHICH positions are device leaves: two trees with the same
+    # treedef and device-leaf signature but a different device/host split must
+    # not share a packer (some jax.Array leaves would silently bypass the
+    # batched snapshot)
+    sig = (treedef, tuple(dev_idx),
+           tuple((leaves[i].shape, str(leaves[i].dtype)) for i in dev_idx))
     cached = _PACKER_CACHE.get(sig)
     if cached is None:
         groups: dict = {}
@@ -145,8 +149,20 @@ def _read_ckpt_v2(f, state_template):
             f"{len(t_leaves)} — structure mismatch")
     buf = f.read()
     out, off = [], 0
-    for (shape, dtype_name), tmpl in zip(manifest, t_leaves):
+    for li, ((shape, dtype_name), tmpl) in enumerate(zip(manifest, t_leaves)):
         dt = _np_dtype(dtype_name)
+        # validate against the template (v1's from_bytes did this): a same-
+        # leaf-count checkpoint from a different config must fail loudly here,
+        # not as a confusing jit error / silent dtype drift later
+        t_shape = tuple(getattr(tmpl, "shape", ()) or ())
+        t_dtype = getattr(tmpl, "dtype", None)
+        if tuple(shape) != t_shape or (
+                t_dtype is not None and dt != np.dtype(t_dtype)):
+            raise ValueError(
+                f"checkpoint leaf {li} is {dtype_name}{tuple(shape)} but the "
+                f"state template expects "
+                f"{np.dtype(t_dtype).name if t_dtype is not None else '?'}"
+                f"{t_shape} — wrong config for this checkpoint?")
         n = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
         out.append(np.frombuffer(buf, dt, count=int(np.prod(shape,
                    dtype=np.int64)), offset=off).reshape(shape))

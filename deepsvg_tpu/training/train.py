@@ -295,13 +295,19 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
     # orchestrator (scripts/full_run.py) sees the non-zero exit and resumes
     # from the latest checkpoint. Threshold must exceed legit pauses
     # (remote compiles 30-90 s, first visualize cycle, checkpoint saves).
-    beat = {"t": time.time(), "step": step_host}
+    beat = {"t": time.time(), "step": step_host, "done": False}
     if getattr(cfg, "stall_watchdog_s", None):
         import threading
 
         def _watchdog(limit=float(cfg.stall_watchdog_s)):
-            while True:
+            # exits when train() sets beat["done"] (finally below) — a
+            # watchdog outliving its run would fire stall_watchdog_s after
+            # a SUCCESSFUL return and os._exit(3) the host process (e.g.
+            # mid-pytest-suite, or during full_run.py's post-train eval).
+            while not beat["done"]:
                 time.sleep(min(limit / 4, 30.0))
+                if beat["done"]:
+                    return
                 stale = time.time() - beat["t"]
                 if stale > limit:
                     print(f"[watchdog] no loop progress for {stale:.0f}s "
@@ -310,116 +316,121 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
                     os._exit(3)
 
         threading.Thread(target=_watchdog, daemon=True).start()
-    for epoch in epoch_range:
-        if done:
-            break
-        if epoch < first_epoch:
-            continue
-        print(f"Epoch {epoch + 1}")
-        if resident is not None:
-            # only the [K, B] int32 icon indices cross the host boundary.
-            # Epoch number continues the loader's counter (the init sample
-            # batch consumed one iteration) so the shuffle order is IDENTICAL
-            # to what the streaming pipeline would deliver.
-            resident_epochs += 1
-            put_fn = None
-            if mesh is not None:
-                from ..parallel.mesh import batch_sharding
-
-                idx_sharding = batch_sharding(mesh, batch_dim=1)
-                put_fn = lambda b: {  # noqa: E731
-                    "idx": jax.device_put(b["idx"], idx_sharding)}
-            device_batches = prefetch_to_device(
-                _resident_idx_chunks(loader._epoch + resident_epochs),
-                size=2, num_threads=1, put_fn=put_fn,
-            )
-        else:
-            stack = K if (mesh is None and weights_traceable) or K > 1 else 0
-            device_batches = prefetch_to_device(
-                loader, size=2, mesh=mesh, keys=set(model_args),
-                stack_steps=stack,
-            )
-        for n_iter, batch_model in enumerate(device_batches):
-            # budget guard BEFORE dispatching: a resumed run whose budget is
-            # already met must not silently train extra steps (the post-run
-            # check below only stops AFTER the overshoot executed)
-            if ((cfg.num_steps is not None and step_host >= cfg.num_steps)
-                    or (max_steps is not None and step_host >= max_steps)):
-                done = True
-                break
-            step = step_host + K
-
-            if profile_steps is not None:
-                if step == profile_steps[0]:
-                    profile_dir = os.path.join(log_dir, "profile",
-                                               experiment_identifier)
-                    os.makedirs(profile_dir, exist_ok=True)
-                    jax.profiler.start_trace(profile_dir)
-                elif step == profile_steps[1]:
-                    jax.block_until_ready(state.params)
-                    jax.profiler.stop_trace()
-                    print(f"profiler trace written to {profile_dir}")
-
-            # in-graph-weights paths compute the ramp inside the jitted step;
-            # keep the hot loop free of per-step host work (each host-side
-            # jnp op / array slice is an extra relay dispatch)
-            stacked_res = ((mesh is None and weights_traceable) or K > 1
-                           or resident is not None)
-            if stacked_res:
-                state, res = step_fn(state, batch_model)
-            else:
-                weights = cfg.get_weights(step, epoch)
-                state, res = step_fn(state, batch_model, weights)
-            step_host = step
-            beat["t"] = time.time()
-            beat["step"] = step
-
-            if cfg.num_steps is not None and step > cfg.num_steps:
-                done = True
-                break
-            if max_steps is not None and step >= max_steps:
-                done = True
-
-            # Event cadences fire on WINDOW CROSSING (step % every < K), not
-            # equality: a resumed step count is generally not a multiple of
-            # the new K (e.g. resume at 23000 with K=6 — steps 23006, 23012,
-            # ... are never ≡0 mod any K-rounded cadence), and with equality
-            # checks logging/val/checkpointing would go silent for the rest
-            # of the run while the host free-runs dispatching with no
-            # synchronization (observed live in the r4 full run).
-            if step % log_every < K:
-                if stacked_res:
-                    # res values are [K]-stacked; expose the window's last step
-                    res = {k: v[-1] for k, v in res.items()}
-                weights = cfg.get_weights(step, epoch)
-                # ONE device->host fetch for all log scalars: each individual
-                # float(x) on a device scalar is a full relay round trip
-                # (~74 ms measured) — per-key fetches cost more than the
-                # whole 20-step window of compute
-                scalar_stats = _fetch_scalar_stats(res, weights,
-                                                   lr_schedule(step))
-                scalar_stats["time"] = timer.get_elapsed_time() / log_every
-                stats.update("train", step, epoch, scalar_stats)
-                print(stats.get_summary("train"))
-                stats.write_tensorboard(summary_writer, "train")
-
-            if step % val_every < K:
-                timer.reset()
-                cfg.visualize(
-                    model, {"params": state.params}, train_vars, step, epoch,
-                    summary_writer, visualization_dir,
-                )
-
-            if not debug and step % ckpt_every < K:
-                save_ckpt(checkpoint_dir, state, cfg, stats, train_vars)
-                prune_ckpts(checkpoint_dir, cfg.ckpt_keep_last,
-                            cfg.ckpt_keep_every)
-
+    try:
+        for epoch in epoch_range:
             if done:
                 break
+            if epoch < first_epoch:
+                continue
+            print(f"Epoch {epoch + 1}")
+            if resident is not None:
+                # only the [K, B] int32 icon indices cross the host boundary.
+                # Epoch number continues the loader's counter (the init sample
+                # batch consumed one iteration) so the shuffle order is IDENTICAL
+                # to what the streaming pipeline would deliver.
+                resident_epochs += 1
+                put_fn = None
+                if mesh is not None:
+                    from ..parallel.mesh import batch_sharding
 
-    if not debug:
-        save_ckpt(checkpoint_dir, state, cfg, stats, train_vars)
+                    idx_sharding = batch_sharding(mesh, batch_dim=1)
+                    put_fn = lambda b: {  # noqa: E731
+                        "idx": jax.device_put(b["idx"], idx_sharding)}
+                device_batches = prefetch_to_device(
+                    _resident_idx_chunks(loader._epoch + resident_epochs),
+                    size=2, num_threads=1, put_fn=put_fn,
+                )
+            else:
+                stack = K if (mesh is None and weights_traceable) or K > 1 else 0
+                device_batches = prefetch_to_device(
+                    loader, size=2, mesh=mesh, keys=set(model_args),
+                    stack_steps=stack,
+                )
+            for n_iter, batch_model in enumerate(device_batches):
+                # budget guard BEFORE dispatching: a resumed run whose budget is
+                # already met must not silently train extra steps (the post-run
+                # check below only stops AFTER the overshoot executed)
+                if ((cfg.num_steps is not None and step_host >= cfg.num_steps)
+                        or (max_steps is not None and step_host >= max_steps)):
+                    done = True
+                    break
+                step = step_host + K
+
+                if profile_steps is not None:
+                    if step == profile_steps[0]:
+                        profile_dir = os.path.join(log_dir, "profile",
+                                                   experiment_identifier)
+                        os.makedirs(profile_dir, exist_ok=True)
+                        jax.profiler.start_trace(profile_dir)
+                    elif step == profile_steps[1]:
+                        jax.block_until_ready(state.params)
+                        jax.profiler.stop_trace()
+                        print(f"profiler trace written to {profile_dir}")
+
+                # in-graph-weights paths compute the ramp inside the jitted step;
+                # keep the hot loop free of per-step host work (each host-side
+                # jnp op / array slice is an extra relay dispatch)
+                stacked_res = ((mesh is None and weights_traceable) or K > 1
+                               or resident is not None)
+                if stacked_res:
+                    state, res = step_fn(state, batch_model)
+                else:
+                    weights = cfg.get_weights(step, epoch)
+                    state, res = step_fn(state, batch_model, weights)
+                step_host = step
+                beat["t"] = time.time()
+                beat["step"] = step
+
+                if cfg.num_steps is not None and step > cfg.num_steps:
+                    done = True
+                    break
+                if max_steps is not None and step >= max_steps:
+                    done = True
+
+                # Event cadences fire on WINDOW CROSSING (step % every < K), not
+                # equality: a resumed step count is generally not a multiple of
+                # the new K (e.g. resume at 23000 with K=6 — steps 23006, 23012,
+                # ... are never ≡0 mod any K-rounded cadence), and with equality
+                # checks logging/val/checkpointing would go silent for the rest
+                # of the run while the host free-runs dispatching with no
+                # synchronization (observed live in the r4 full run).
+                if step % log_every < K:
+                    if stacked_res:
+                        # res values are [K]-stacked; expose the window's last step
+                        res = {k: v[-1] for k, v in res.items()}
+                    weights = cfg.get_weights(step, epoch)
+                    # ONE device->host fetch for all log scalars: each individual
+                    # float(x) on a device scalar is a full relay round trip
+                    # (~74 ms measured) — per-key fetches cost more than the
+                    # whole 20-step window of compute
+                    scalar_stats = _fetch_scalar_stats(res, weights,
+                                                       lr_schedule(step))
+                    scalar_stats["time"] = timer.get_elapsed_time() / log_every
+                    stats.update("train", step, epoch, scalar_stats)
+                    print(stats.get_summary("train"))
+                    stats.write_tensorboard(summary_writer, "train")
+
+                if step % val_every < K:
+                    timer.reset()
+                    cfg.visualize(
+                        model, {"params": state.params}, train_vars, step, epoch,
+                        summary_writer, visualization_dir,
+                    )
+
+                if not debug and step % ckpt_every < K:
+                    save_ckpt(checkpoint_dir, state, cfg, stats, train_vars)
+                    prune_ckpts(checkpoint_dir, cfg.ckpt_keep_last,
+                                cfg.ckpt_keep_every)
+
+                if done:
+                    break
+
+        if not debug:
+            save_ckpt(checkpoint_dir, state, cfg, stats, train_vars)
+    finally:
+        # release the watchdog thread: without this it outlives the run
+        # and hard-kills the process stall_watchdog_s later (ADVICE r4).
+        beat["done"] = True
     return state, stats
 
 

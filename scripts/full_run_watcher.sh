@@ -18,8 +18,12 @@ while true; do
     mkdir -p docs/artifacts
     tar czf docs/artifacts/full_run_tensorboard.tgz -C /tmp/full_run tensorboard \
       || echo "[watcher] tb bundle FAILED"
+    # Scope the commit to exactly the run artifacts: `--` pathspecs commit only
+    # these paths regardless of what else happens to be staged in the index
+    # (an interactive session may have its own work staged concurrently).
     git add docs/full_run.json docs/full_run_eval.json docs/FULL_RUN.md docs/artifacts
     git commit -m "Full 50-epoch recipe completed: run report, held-out eval, end-state artifacts" \
+      -- docs/full_run.json docs/full_run_eval.json docs/FULL_RUN.md docs/artifacts \
       || echo "[watcher] commit FAILED (or nothing to commit)"
     echo "[watcher] done at $(date -u)"
     break
