@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from .difflib.loss import svg_emd_loss
 from .difflib.sample import get_length_distribution, sample_points_padded
 from .difflib.utils import make_clockwise
+from .models.matching import solve_assignment
 from .models.sample import greedy_sample
 from .svgtensor import masks as M
 from .svgtensor.constants import CMD_ARGS_MASK_NP
@@ -87,7 +88,8 @@ def _group_contour(commands, args, n: int, m: int):
     return flat[take], jnp.sum(vflat)
 
 
-@partial(jax.jit, static_argnames=("points_per_cmd", "emd_points"))
+@partial(jax.jit,
+         static_argnames=("points_per_cmd", "emd_points", "match_groups"))
 def recon_metrics(
     gt_commands: jnp.ndarray,     # [N, G, S] int32 (SOS already dropped)
     gt_args: jnp.ndarray,         # [N, G, S, n_args] float32
@@ -95,20 +97,59 @@ def recon_metrics(
     pr_args: jnp.ndarray,         # [N, G, S, n_args] float32
     points_per_cmd: int = 5,
     emd_points: int = 48,
+    match_groups: bool = False,
 ) -> dict:
     """Batched reconstruction metrics; returns summed numerators and counts
-    so batches aggregate exactly (see :func:`evaluate_batches`)."""
+    so batches aggregate exactly (see :func:`evaluate_batches`).
+
+    ``match_groups=False`` pairs prediction group i with ground-truth group i
+    — correct for the flagship ordered model, whose decoder is trained to
+    emit groups in the canonical dataset order. ``match_groups=True`` instead
+    Hungarian-matches groups by pairwise EMD (exact brute force on device for
+    G <= 8, scipy callback beyond — models/matching.py solve_assignment):
+    required for self-match/permutation-invariant variants, whose group
+    order is arbitrary, and for ``cmd_acc``/``args_mae``/``vis_acc`` those
+    token metrics are likewise computed under the matched permutation."""
+    n = points_per_cmd
     vis_gt = M.visibility_mask(gt_commands)                # [N, G]
     vis_pr = M.visibility_mask(pr_commands)
-    pad = M.padding_mask(gt_commands)                      # [N, G, S]
 
+    # per-group contours (shared by both EMD modes)
+    contour = jax.vmap(jax.vmap(
+        lambda c, a: _group_contour(c, a, n, emd_points)))
+    tgt, n_t = contour(gt_commands, gt_args)               # [N, G, m, 2]
+    prd, n_p = contour(pr_commands, pr_args)
+    ok_t = (n_t >= 2) & vis_gt
+    ok_p = (n_p >= 2) & vis_pr
+
+    if match_groups:
+        # pairwise EMD [N, G_target, G_pred] -> minimal-cost assignment
+        pair = jax.vmap(jax.vmap(jax.vmap(
+            svg_emd_loss, in_axes=(0, None)), in_axes=(None, 0)))(prd, tgt)
+        cost = jnp.where(ok_p[:, None, :], pair, 1e6)      # bar dead preds
+        assign = solve_assignment(cost, ok_t)              # [N, G]
+        emd = jnp.take_along_axis(pair, assign[:, :, None], axis=2)[..., 0]
+        emd_ok = ok_t & jnp.take_along_axis(ok_p, assign, axis=1)
+        # re-order predictions to target order so the token metrics below
+        # score the matched pairs (group order is arbitrary for self-match
+        # models — index-aligned token accuracy would be meaningless)
+        pr_commands = jnp.take_along_axis(
+            pr_commands, assign[:, :, None], axis=1)
+        pr_args = jnp.take_along_axis(
+            pr_args, assign[:, :, None, None], axis=1)
+        vis_pr = jnp.take_along_axis(vis_pr, assign, axis=1)
+    else:
+        # index-matched (flagship: the decoder emits groups in dataset order)
+        emd = jax.vmap(jax.vmap(svg_emd_loss))(prd, tgt)
+        emd_ok = ok_t & ok_p
+
+    pad = M.padding_mask(gt_commands)                      # [N, G, S]
     cmd_hit = (pr_commands == gt_commands).astype(jnp.float32) * pad
     amask = (jnp.asarray(CMD_ARGS_MASK_NP)[gt_commands]
              * pad[..., None]) * (gt_args >= 0)
     mae = jnp.abs(pr_args - gt_args) * amask
 
-    # geometry — union point cloud per sample
-    n = points_per_cmd
+    # geometry — union point cloud per sample (permutation-invariant)
     pts_g, val_g = sample_points_padded(gt_commands, gt_args, n)
     pts_p, val_p = sample_points_padded(pr_commands, pr_args, n)
     N = gt_commands.shape[0]
@@ -117,19 +158,6 @@ def recon_metrics(
     xg, vg = flat(pts_g, val_g)
     xp, vp = flat(pts_p, val_p)
     chamfer, cham_ok = jax.vmap(_masked_chamfer)(xg, vg, xp, vp)
-
-    # per-group EMD on index-matched visible groups
-    def one_group(cg, ag, cp, ap):
-        tgt, n_t = _group_contour(cg, ag, n, emd_points)
-        prd, n_p = _group_contour(cp, ap, n, emd_points)
-        e = svg_emd_loss(prd, tgt)
-        ok = (n_t >= 2) & (n_p >= 2)
-        return jnp.where(ok, e, 0.0), ok
-
-    emd, emd_ok = jax.vmap(jax.vmap(one_group))(
-        gt_commands, gt_args, pr_commands, pr_args
-    )
-    emd_ok = emd_ok & vis_gt & vis_pr
 
     return {
         "vis_hit": jnp.sum(vis_gt == vis_pr).astype(jnp.float32),
@@ -168,12 +196,14 @@ def reconstruct(model, variables, commands, args, label=None):
 
 
 def evaluate_batches(model, variables, batches, *, points_per_cmd: int = 5,
-                     emd_points: int = 48, verbose: bool = False) -> dict:
+                     emd_points: int = 48, match_groups: bool = False,
+                     verbose: bool = False) -> dict:
     """Run reconstruction metrics over an iterable of batches.
 
     Each batch is a dict with ``commands [N, G, S+2]`` (SOS+content+EOS),
     ``args``, optional ``label``. Returns the aggregated metric dict plus
-    ``n_samples``.
+    ``n_samples``. ``match_groups=True`` for permutation-invariant
+    (self-match) models — see :func:`recon_metrics`.
     """
     acc: dict = {}
     n_samples = 0
@@ -187,7 +217,7 @@ def evaluate_batches(model, variables, batches, *, points_per_cmd: int = 5,
         m = recon_metrics(gt_c[..., 1:], gt_a[..., 1:, :],
                           pr_c.astype(jnp.int32), pr_a.astype(jnp.float32),
                           points_per_cmd=points_per_cmd,
-                          emd_points=emd_points)
+                          emd_points=emd_points, match_groups=match_groups)
         m = {k: float(v) for k, v in m.items()}
         acc = {k: acc.get(k, 0.0) + v for k, v in m.items()}
         n_samples += int(gt_c.shape[0])

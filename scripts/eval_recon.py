@@ -60,6 +60,10 @@ def main(argv=None):
     ap.add_argument("--dataset-module", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--emd-points", type=int, default=48)
+    ap.add_argument("--match-groups", action="store_true", default=False,
+                    help="Hungarian-match groups by pairwise EMD before "
+                         "scoring (self-match / permutation-invariant "
+                         "models; index matching is wrong for those)")
     args = ap.parse_args(argv)
 
     from deepsvg_tpu.evaluation import evaluate_batches
@@ -90,7 +94,8 @@ def main(argv=None):
     res = evaluate_batches(
         model, variables,
         iter_batches(dataset, cfg, args.n, args.batch_size),
-        emd_points=args.emd_points, verbose=True,
+        emd_points=args.emd_points, match_groups=args.match_groups,
+        verbose=True,
     )
     res["config"] = args.config_module
     res["checkpoint"] = args.checkpoint or "(random init)"

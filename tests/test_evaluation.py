@@ -48,6 +48,34 @@ class TestReconMetrics:
         cham = float(m["chamfer_sum"]) / float(m["chamfer_cnt"])
         assert cham > 1.0  # a rigid translation moves the whole cloud
 
+    def test_matched_emd_recovers_permuted_groups(self):
+        # permute the prediction's group order: index matching scores the
+        # permutation as a large error; Hungarian matching must recover the
+        # identity pairing (the self-match-model case, VERDICT r4 Weak #6)
+        c, a = _batch(n=3, g=3, s=6, seed=1)
+        gt_c, gt_a = c[..., 1:], a[..., 1:, :]
+        perm = jnp.asarray([2, 0, 1])
+        pr_c, pr_a = gt_c[:, perm], gt_a[:, perm]
+
+        m_idx = recon_metrics(gt_c, gt_a, pr_c, pr_a)
+        m_mat = recon_metrics(gt_c, gt_a, pr_c, pr_a, match_groups=True)
+        emd_idx = float(m_idx["emd_sum"]) / max(float(m_idx["emd_cnt"]), 1)
+        emd_mat = float(m_mat["emd_sum"]) / max(float(m_mat["emd_cnt"]), 1)
+        # matched mode: identity-quality scores on every metric
+        assert emd_mat < 0.3 < emd_idx
+        assert float(m_mat["cmd_hit"]) == float(m_mat["cmd_cnt"]) > 0
+        assert float(m_mat["mae_sum"]) == 0.0
+        assert float(m_idx["mae_sum"]) > 0.0
+
+    def test_matched_emd_identity_on_ordered(self):
+        # on an already-ordered prediction both modes agree
+        c, a = _batch(n=2, g=3, s=6, seed=2)
+        gt_c, gt_a = c[..., 1:], a[..., 1:, :]
+        m_idx = recon_metrics(gt_c, gt_a, gt_c, gt_a)
+        m_mat = recon_metrics(gt_c, gt_a, gt_c, gt_a, match_groups=True)
+        for k in ("emd_sum", "emd_cnt", "cmd_hit", "mae_sum"):
+            assert float(m_idx[k]) == pytest.approx(float(m_mat[k]), abs=1e-4)
+
     def test_dropped_group_hits_visibility(self):
         c, a = _batch(n=2, g=3, s=6, seed=3)
         gt_c, gt_a = c[..., 1:], a[..., 1:, :]
