@@ -106,8 +106,17 @@ def export_session(model: SVGTransformer, variables, out_dir: str,
         "encode": (_encode_fn(model, variables, with_label), specs_encode),
         "decode": (_decode_fn(model, variables, with_label), specs_decode),
     }
+    # per-entry pad fills, one per operand IN ORDER, written at export time
+    # when the operand roles are known — serve_batch reads these back rather
+    # than guessing roles from rank/dtype at call time. Wire contract
+    # (data/loader.py decompress_batch): commands pad with EOS 4, quantized
+    # args with -1, labels and latents with 0.
+    pad_spec = {
+        "encode": [4, -1.0] + ([0] if with_label else []),
+        "decode": [0.0] + ([0] if with_label else []),
+    }
     manifest = {"batch_sizes": list(map(int, batch_sizes)),
-                "with_label": with_label, "entries": {}}
+                "with_label": with_label, "pad": pad_spec, "entries": {}}
     paths: dict = {}
     for name, (fn, specs) in fns.items():
         paths[name] = {}
@@ -141,6 +150,14 @@ def load_session_exports(out_dir: str) -> dict:
         with open(os.path.join(out_dir, fname), "rb") as f:
             exp = jexport.deserialize(bytearray(f.read()))
         out.setdefault(name, {})[int(b)] = exp.call
+    # per-entry pad fills for serve_batch; pre-"pad"-manifest artifacts get
+    # the known encode/decode contract (the only entries ever exported then)
+    pad = manifest.get("pad")
+    if pad is None:
+        wl = bool(manifest.get("with_label"))
+        pad = {"encode": [4, -1.0] + ([0] if wl else []),
+               "decode": [0.0] + ([0] if wl else [])}
+    out["__pad__"] = pad
     return out
 
 
@@ -150,11 +167,11 @@ def serve_batch(fns: dict, name: str, *args):
 
     ``fns`` is :func:`load_session_exports`'s result; ``name`` is the entry
     ("encode"/"decode"); ``args`` are the entry's operands with a common
-    leading batch dimension of any size <= the largest bucket. Padding
-    follows the wire contract the exports were built with
-    (data/loader.py decompress_batch): integer command tensors pad with the
-    EOS token 4, float argument tensors with -1, float latents and integer
-    labels with 0. Outputs are sliced back to the true batch size.
+    leading batch dimension of any size <= the largest bucket. Pad fills
+    come from the per-entry, per-operand spec the EXPORT wrote into the
+    manifest (``export_session`` pad_spec — commands EOS 4, args -1,
+    labels/latents 0), so no operand-role guessing happens at call time.
+    Outputs are sliced back to the true batch size.
     """
     entries = fns[name]
     n = int(args[0].shape[0])
@@ -165,20 +182,21 @@ def serve_batch(fns: dict, name: str, *args):
             f"batch {n} exceeds the largest exported bucket {buckets[-1]} "
             f"for {name!r}; export a bigger bucket or split the batch")
     b = fit[0]
+    fills = fns.get("__pad__", {}).get(name)
+    if fills is None or len(fills) != len(args):
+        raise ValueError(
+            f"no pad spec for entry {name!r} with {len(args)} operands "
+            f"(manifest pad: {fns.get('__pad__')}) — re-export with "
+            "export_session or pass operands matching the export signature")
 
-    def pad(x):
+    def pad(x, fill):
         x = jnp.asarray(x)
         if x.shape[0] == b:
             return x
-        if jnp.issubdtype(x.dtype, jnp.integer):
-            # rank-1 ints are labels (pad 0); command tensors pad with EOS 4
-            fill = 0 if x.ndim == 1 else 4
-        else:
-            fill = 0.0 if x.ndim <= 2 else -1.0  # latents vs args
         padshape = (b - x.shape[0],) + x.shape[1:]
         return jnp.concatenate([x, jnp.full(padshape, fill, x.dtype)], axis=0)
 
-    out = entries[b](*(pad(a) for a in args))
+    out = entries[b](*(pad(a, f) for a, f in zip(args, fills)))
     unpad = lambda y: y[:n] if hasattr(y, "shape") and y.shape and y.shape[0] == b else y
     if isinstance(out, (tuple, list)):
         return type(out)(unpad(y) for y in out)

@@ -383,7 +383,11 @@ class TestServingExport:
         )
         assert r.returncode == 0, r.stderr[-3000:]
         fns = load_session_exports(str(tmp_path / "served"))
-        assert set(fns) == {"encode", "decode"} and 2 in fns["encode"]
+        assert set(fns) == {"encode", "decode", "__pad__"}
+        assert 2 in fns["encode"]
+        # pad metadata written at export time round-trips through the CLI
+        # (serve_batch reads these; no rank/dtype guessing — VERDICT r4 #7)
+        assert fns["__pad__"] == {"encode": [4, -1.0], "decode": [0.0]}
 
 
 class TestLoadSession:
