@@ -106,18 +106,27 @@ def main():
     except Exception:
         pass  # the headline inference metric must survive any training-path issue
     try:
-        prev = _last_committed_bench()
+        prev, peak_v, peak_round = _committed_bench_history()
         if prev:
             out["prev_value"] = prev
             out["prev_delta_pct"] = round(100 * (samples_per_sec / prev - 1), 2)
+        if peak_v:
+            # also compare against the all-time best committed round: the
+            # newest-only comparison lets a regression from the peak ratchet
+            # invisibly round over round (VERDICT r4 Weak #5)
+            out["peak_value"] = peak_v
+            out["peak_round"] = peak_round
+            out["peak_delta_pct"] = round(
+                100 * (samples_per_sec / peak_v - 1), 2)
     except Exception:
         pass
     print(json.dumps(out))
 
 
-def _last_committed_bench():
-    """Headline value from the newest committed BENCH_r*.json, so regressions
-    surface in the bench artifact itself (round-over-round drift tracking)."""
+def _committed_bench_history():
+    """(newest, all-time-max, max_round) headline values from the committed
+    BENCH_r*.json artifacts, so regressions — including slow ratchets below
+    an earlier peak — surface in the bench artifact itself."""
     import glob
     import os
     import re
@@ -125,12 +134,17 @@ def _last_committed_bench():
     here = os.path.dirname(os.path.abspath(__file__))
     files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
                    key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
-    if not files:
-        return None
-    with open(files[-1]) as f:
-        rec = json.load(f)
-    parsed = rec.get("parsed") or {}
-    return parsed.get("value")
+    vals = []
+    for p in files:
+        with open(p) as f:
+            rec = json.load(f)
+        v = (rec.get("parsed") or {}).get("value")
+        if v:
+            vals.append((int(re.search(r"r(\d+)", p).group(1)), v))
+    if not vals:
+        return None, None, None
+    peak_round, peak_v = max(vals, key=lambda rv: rv[1])
+    return vals[-1][1], peak_v, peak_round
 
 
 def _train_throughput(batch_size: int = 128, n_iters: int = 10):

@@ -186,13 +186,22 @@ class SyntheticAugmentedCorpus:
 
     def __init__(self, n_icons: int, n_augs: int = 10, seed: int = 0,
                  max_num_groups: int = 8, max_seq_len: int = 30,
-                 max_total_len: int = 50, chunk: int = 25_000):
+                 max_total_len: int = 50, chunk: int = 25_000,
+                 label_range: int | None = None):
         self.n_icons = int(n_icons)
         self.nb_augmentations = int(n_augs)
         self.max_num_groups = max_num_groups
         self.max_seq_len = max_seq_len
         self.max_total_len = max_total_len
         self.seed = seed
+        self.label_range = label_range
+        # per-ICON class label, shared by all augmentation variants — the
+        # fonts contract (reference svgtensor_dataset.py label column: a
+        # glyph's class is invariant under augmentation)
+        self._labels = (None if label_range is None else
+                        np.random.default_rng(seed + 7).integers(
+                            0, int(label_range), self.n_icons
+                        ).astype(np.int32))
 
         N, G, S = self.n_icons, max_num_groups, max_seq_len
         self._commands = np.empty((N, G, S + 2), np.int8)
@@ -283,6 +292,8 @@ class SyntheticAugmentedCorpus:
             "commands": self._commands[icon_idx].astype(np.int32),
             "args": self._variant_args(np.asarray(icon_idx), np.asarray(aug_idx)),
         }
+        if self._labels is not None:
+            item["label"] = self._labels[icon_idx]
         if model_args is not None:
             item = {k: v for k, v in item.items() if k in set(model_args)}
         return item
@@ -318,8 +329,11 @@ class SyntheticAugmentedCorpus:
         variant)."""
         idx = np.asarray(indices, np.int64) % self.n_icons
         aug = self._access_rng.integers(0, self.nb_augmentations, idx.shape)
-        return {"commands": self._commands[idx].astype(np.int32),
-                "args": self._variant_args(idx, aug)}
+        out = {"commands": self._commands[idx].astype(np.int32),
+               "args": self._variant_args(idx, aug)}
+        if self._labels is not None:
+            out["label"] = self._labels[idx]
+        return out
 
     def get_variant_arrays(self, model_args=None) -> dict:
         """Resident-mode fast path (data/resident.py): the FULL corpus as one
@@ -328,10 +342,14 @@ class SyntheticAugmentedCorpus:
         device)."""
         N, A = self.n_icons, self.nb_augmentations
         G, S2 = self.max_num_groups, self.max_seq_len + 2
-        keys = set(model_args) if model_args is not None else {"commands", "args"}
+        keys = (set(model_args) if model_args is not None
+                else {"commands", "args"}
+                | ({"label"} if self._labels is not None else set()))
         out = {}
         if "commands" in keys:
             out["commands"] = np.repeat(self._commands, A, axis=0)
+        if "label" in keys and self._labels is not None:
+            out["label"] = np.repeat(self._labels, A)
         if "args" in keys:
             args = np.empty((N * A, G, S2, N_ARGS), np.uint8)
             view = args.reshape(N, A, G, S2, N_ARGS)

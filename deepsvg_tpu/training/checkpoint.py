@@ -27,28 +27,21 @@ def _ckpt_path(checkpoint_dir: str, step: int) -> str:
 _PACKER_CACHE: dict = {}
 
 
-def device_snapshot(tree):
-    """Fetch a jax pytree to host numpy in O(dtypes) device->host transfers
-    instead of O(leaves).
-
-    ``flax.serialization.to_bytes`` converts leaves one at a time; through a
-    remote-TPU relay each conversion is a full RPC round trip (~74 ms — see
-    docs/NOTES.md), so a ~300-leaf train state costs ~25 s per checkpoint
-    (measured, r4 full run). Instead: jit-concatenate the raveled leaves into
-    ONE contiguous device buffer per dtype, fetch each buffer with a single
-    transfer, and split host-side. Same bytes, ~2-4 RPCs.
-
-    Non-jax leaves (python ints, numpy arrays) pass through unchanged, so the
-    function is a no-op on host-only pytrees (CPU tests, already-fetched
-    states).
-    """
+def _snapshot_dispatch(tree):
+    """Phase 1 of :func:`device_snapshot`: dispatch the on-device packing
+    program and return a context for :func:`_snapshot_finish`, or ``None``
+    for host-only trees. Non-blocking past the jit dispatch, so a caller may
+    hand the context to a background thread and keep training — the packed
+    outputs are FRESH buffers, safe to hold across donated train steps
+    (``leaves`` is only consulted for host values and shape/dtype metadata
+    afterwards, never for device buffer contents)."""
     import jax
     import jax.numpy as jnp
 
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     dev_idx = [i for i, l in enumerate(leaves) if isinstance(l, jax.Array)]
     if not dev_idx:
-        return tree
+        return None
 
     # key includes WHICH positions are device leaves: two trees with the same
     # treedef and device-leaf signature but a different device/host split must
@@ -70,9 +63,16 @@ def device_snapshot(tree):
         cached = (jax.jit(pack), groups)
         _PACKER_CACHE[sig] = cached
     packer, groups = cached
+    return packer(leaves), groups, leaves, treedef
 
-    host = jax.device_get(packer(leaves))
 
+def _snapshot_finish(ctx):
+    """Phase 2: fetch the packed buffers (one transfer per dtype) and split
+    back into the original leaf layout."""
+    import jax
+
+    packed, groups, leaves, treedef = ctx
+    host = jax.device_get(packed)
     out = list(leaves)
     for dt, idxs in groups.items():
         buf, off = np.asarray(host[dt]), 0
@@ -81,6 +81,25 @@ def device_snapshot(tree):
             out[i] = buf[off:off + n].reshape(leaves[i].shape)
             off += n
     return treedef.unflatten(out)
+
+
+def device_snapshot(tree):
+    """Fetch a jax pytree to host numpy in O(dtypes) device->host transfers
+    instead of O(leaves).
+
+    ``flax.serialization.to_bytes`` converts leaves one at a time; through a
+    remote-TPU relay each conversion is a full RPC round trip (~74 ms — see
+    docs/NOTES.md), so a ~300-leaf train state costs ~25 s per checkpoint
+    (measured, r4 full run). Instead: jit-concatenate the raveled leaves into
+    ONE contiguous device buffer per dtype, fetch each buffer with a single
+    transfer, and split host-side. Same bytes, ~2-4 RPCs.
+
+    Non-jax leaves (python ints, numpy arrays) pass through unchanged, so the
+    function is a no-op on host-only pytrees (CPU tests, already-fetched
+    states).
+    """
+    ctx = _snapshot_dispatch(tree)
+    return tree if ctx is None else _snapshot_finish(ctx)
 
 
 def _jsonable(v):
@@ -170,7 +189,7 @@ def _read_ckpt_v2(f, state_template):
     return treedef.unflatten(out), meta
 
 
-def save_ckpt(
+def begin_save(
     checkpoint_dir: str,
     state,
     cfg=None,
@@ -178,9 +197,13 @@ def save_ckpt(
     train_vars=None,
     best: bool = True,
 ):
-    """Serialize the full training state at ``state.step``. Atomic (tmp +
-    rename); also refreshes ``best.ckpt`` when ``best`` (the reference copies
-    unconditionally — Stats.is_best() is a True stub)."""
+    """Critical-path half of a checkpoint save: serialize the host metadata
+    (cfg/stats/train_vars mutate as training continues, so this must happen
+    at save time) and DISPATCH the on-device leaf packing, without waiting
+    for the fetch. Returns an opaque context for :func:`finish_save`, which
+    a write-behind worker can complete off the training loop's critical path
+    — the packed buffers are fresh, so later (donated) train steps cannot
+    invalidate them. Blocks only on ``int(state.step)`` (one scalar fetch)."""
     os.makedirs(checkpoint_dir, exist_ok=True)
     step = int(state.step)
 
@@ -193,11 +216,20 @@ def save_ckpt(
         },
         default=_jsonable,
     ).encode()
+    return (checkpoint_dir, step, meta_bytes, _snapshot_dispatch(state),
+            state, best)
+
+
+def finish_save(ctx) -> str:
+    """Complete a :func:`begin_save`: fetch the packed leaves, write the v2
+    file atomically, refresh ``best.ckpt``. Returns the checkpoint path."""
+    checkpoint_dir, step, meta_bytes, snap_ctx, state, best = ctx
+    state_np = state if snap_ctx is None else _snapshot_finish(snap_ctx)
 
     path = _ckpt_path(checkpoint_dir, step)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        _write_ckpt_v2(f, device_snapshot(state), meta_bytes)
+        _write_ckpt_v2(f, state_np, meta_bytes)
     os.replace(tmp, path)
 
     if best:
@@ -214,6 +246,23 @@ def save_ckpt(
         except OSError:  # cross-device / FS without hardlinks
             shutil.copyfile(path, best_path)
     return path
+
+
+def save_ckpt(
+    checkpoint_dir: str,
+    state,
+    cfg=None,
+    stats=None,
+    train_vars=None,
+    best: bool = True,
+):
+    """Serialize the full training state at ``state.step``. Atomic (tmp +
+    rename); also refreshes ``best.ckpt`` when ``best`` (the reference copies
+    unconditionally — Stats.is_best() is a True stub). Synchronous; the
+    training loop's write-behind path uses :func:`begin_save` +
+    :func:`finish_save` directly."""
+    return finish_save(begin_save(
+        checkpoint_dir, state, cfg, stats, train_vars, best))
 
 
 def latest_ckpt(checkpoint_dir: str) -> Optional[str]:

@@ -73,6 +73,12 @@ class TrainConfig:
         # only an orchestrator resume recovers (see train.py watchdog).
         # None disables. Must exceed legit pauses (remote compiles 30-90 s).
         self.stall_watchdog_s: Optional[float] = None
+        # write-behind host IO (train.py): run the visualize hook and the
+        # checkpoint fetch+write on background workers instead of stalling
+        # the step-dispatch loop (~12 ms/step of wall overhead at the B=60
+        # recipe cadences, measured live in the r5 session). False restores
+        # fully synchronous hooks (debug runs force synchronous).
+        self.async_host_io: bool = True
 
         self.stats_to_print = {"train": ["lr", "time"]}
 

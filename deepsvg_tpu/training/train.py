@@ -21,7 +21,8 @@ import numpy as np
 
 from ..data.loader import DataLoader, prefetch_to_device
 from ..parallel.mesh import make_mesh, make_parallel_train_step
-from .checkpoint import load_ckpt, prune_ckpts, save_ckpt
+from .checkpoint import (begin_save, finish_save, load_ckpt, prune_ckpts,
+                         save_ckpt)
 from .config import TrainConfig, load_config
 from .stats import Stats, Timer, TrainVars
 from .trainer import create_train_state, jit_train_step
@@ -295,6 +296,54 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
     # orchestrator (scripts/full_run.py) sees the non-zero exit and resumes
     # from the latest checkpoint. Threshold must exceed legit pauses
     # (remote compiles 30-90 s, first visualize cycle, checkpoint saves).
+    # Write-behind host IO (cfg.async_host_io, default on): the val-cycle
+    # visualize hook costs ~23 s per 2000 steps at B=60 (batched-sample fetch
+    # + 10 SVG rasterizations + TB image writes on a 1-core host) and each
+    # checkpoint ~1.4 s — together ~12 ms/step of wall overhead the in-window
+    # `time` stat never saw (wall 25.4 vs logged 13.7 ms/step, measured live
+    # on the r4 full run). Both now run on single-worker background threads:
+    # - visualize gets a device-side COPY of the params (one jitted tree-copy
+    #   dispatch, no host transfer) because the train step donates `state` —
+    #   the hook must not hold the live buffers; a cycle is skipped if the
+    #   previous one is still rendering (no pileup).
+    # - checkpointing splits into begin_save (metadata + pack dispatch, on
+    #   the critical path — cfg/stats mutate, and packing must see this
+    #   step's buffers) and finish_save (fetch + file write) in the worker;
+    #   at most one save in flight, errors surface at the next cadence.
+    async_io = bool(getattr(cfg, "async_host_io", True)) and not debug
+    viz_pool = ckpt_pool = None
+    viz_fut = {"f": None, "skipped": 0}
+    ckpt_fut = {"f": None}
+    if async_io:
+        from concurrent.futures import ThreadPoolExecutor
+
+        viz_pool = ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="viz")
+        ckpt_pool = ThreadPoolExecutor(max_workers=1,
+                                       thread_name_prefix="ckpt")
+        _copy_tree = jax.jit(
+            lambda p: jax.tree_util.tree_map(lambda x: x.copy(), p))
+        # compile the copy now, in setup where slow remote compiles are
+        # expected — not as a surprise stall at the first val cycle
+        jax.tree_util.tree_map(lambda x: None, _copy_tree(state.params))
+
+    def _wait_ckpt():
+        f, ckpt_fut["f"] = ckpt_fut["f"], None
+        if f is not None:
+            f.result()  # re-raise background save failures on the main thread
+
+    def _ckpt_cycle(ctx):
+        finish_save(ctx)
+        prune_ckpts(checkpoint_dir, cfg.ckpt_keep_last, cfg.ckpt_keep_every)
+
+    def _viz_cycle(params_copy, step, epoch):
+        try:
+            cfg.visualize(model, {"params": params_copy}, train_vars, step,
+                          epoch, summary_writer, visualization_dir)
+        except Exception as e:  # never kill training over a render
+            print(f"[visualize] background cycle failed at step {step}: "
+                  f"{e!r}", flush=True)
+
     beat = {"t": time.time(), "step": step_host, "done": False}
     if getattr(cfg, "stall_watchdog_s", None):
         import threading
@@ -411,26 +460,53 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
                     stats.write_tensorboard(summary_writer, "train")
 
                 if step % val_every < K:
-                    timer.reset()
-                    cfg.visualize(
-                        model, {"params": state.params}, train_vars, step, epoch,
-                        summary_writer, visualization_dir,
-                    )
+                    if viz_pool is not None:
+                        f = viz_fut["f"]
+                        if f is not None and not f.done():
+                            viz_fut["skipped"] += 1  # still rendering: skip
+                        else:
+                            viz_fut["f"] = viz_pool.submit(
+                                _viz_cycle, _copy_tree(state.params), step,
+                                epoch)
+                    else:
+                        timer.reset()
+                        cfg.visualize(
+                            model, {"params": state.params}, train_vars, step,
+                            epoch, summary_writer, visualization_dir,
+                        )
 
                 if not debug and step % ckpt_every < K:
-                    save_ckpt(checkpoint_dir, state, cfg, stats, train_vars)
-                    prune_ckpts(checkpoint_dir, cfg.ckpt_keep_last,
-                                cfg.ckpt_keep_every)
+                    if ckpt_pool is not None:
+                        _wait_ckpt()  # at most one save in flight, in order
+                        ctx = begin_save(checkpoint_dir, state, cfg, stats,
+                                         train_vars)
+                        ckpt_fut["f"] = ckpt_pool.submit(_ckpt_cycle, ctx)
+                    else:
+                        save_ckpt(checkpoint_dir, state, cfg, stats,
+                                  train_vars)
+                        prune_ckpts(checkpoint_dir, cfg.ckpt_keep_last,
+                                    cfg.ckpt_keep_every)
 
                 if done:
                     break
 
+        # drain pending background IO while the watchdog is still armed (a
+        # wedged relay mid-fetch must still trip it), then the final save
+        _wait_ckpt()
         if not debug:
             save_ckpt(checkpoint_dir, state, cfg, stats, train_vars)
+        if viz_fut["skipped"]:
+            print(f"[visualize] skipped {viz_fut['skipped']} overlapping "
+                  "background cycles", flush=True)
     finally:
         # release the watchdog thread: without this it outlives the run
         # and hard-kills the process stall_watchdog_s later (ADVICE r4).
         beat["done"] = True
+        if viz_pool is not None:
+            # non-daemon workers: an in-flight render finishes before the
+            # interpreter exits; nothing new can be submitted after this
+            viz_pool.shutdown(wait=False)
+            ckpt_pool.shutdown(wait=False)
     return state, stats
 
 

@@ -85,14 +85,29 @@ def main():
     set_seed(42)
     enable_compilation_cache()
 
-    print(f"[1/3] building corpus: {args.icons} icons x {args.augs} augs")
+    cfg = load_config(args.config, 1)
+    # label-conditioned configs (fonts): per-icon class labels at the
+    # config's label count, aug-invariant (a glyph's class survives zoom/
+    # translate) — the synthetic stand-in for the fonts corpus' label column
+    label_range = None
+    if getattr(cfg.model_cfg, "label_condition", False):
+        # embedding table has n_labels slots (reference model/config.py:28
+        # keeps 100 for fonts); the DATA uses one class per filtered glyph
+        # (62 for 0-9A-Za-z), mirroring the real corpus' label column
+        label_range = int(cfg.model_cfg.n_labels)
+        if getattr(cfg, "filter_uni", None):
+            label_range = min(label_range, len(cfg.filter_uni))
+
+    print(f"[1/3] building corpus: {args.icons} icons x {args.augs} augs"
+          + (f" ({label_range} classes)" if label_range else ""))
     t0 = time.time()
-    dataset = SyntheticAugmentedCorpus(args.icons, n_augs=args.augs, seed=42)
+    dataset = SyntheticAugmentedCorpus(
+        args.icons, n_augs=args.augs, seed=42,
+        max_num_groups=cfg.max_num_groups, max_seq_len=cfg.max_seq_len,
+        max_total_len=cfg.max_total_len, label_range=label_range)
     t_corpus = time.time() - t0
     print(f"  built in {t_corpus:.0f}s "
           f"({len(dataset)} variants)")
-
-    cfg = load_config(args.config, 1)
     # the recipe prints lr/time only (reference config.py stats_to_print);
     # add loss so the run log carries the curve for the report
     cfg.stats_to_print["train"] = ["loss", "lr", "time"]
