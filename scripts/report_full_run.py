@@ -187,6 +187,36 @@ def main():
     a("")
     a(f"Final checkpoint: `{ev['checkpoint']}`.")
     a("")
+    mil_path = os.path.join(DOCS, "full_run_milestone_eval.json")
+    if os.path.exists(mil_path):
+        with open(mil_path) as f:
+            mil = json.load(f)
+        a("## Training progress — same eval at mid-run milestones")
+        a("")
+        a("| checkpoint step | cmd_acc | args_mae | chamfer | emd |")
+        a("|---|---|---|---|---|")
+        for m in mil["milestones"]:
+            a(f"| {m['step']:,} | {m['cmd_acc']:.4f} | "
+              f"{m['args_mae']:.3f} | {m['chamfer']:.5f} | "
+              f"{m['emd']:.5f} |")
+        a("")
+    sc_path = os.path.join(DOCS, "artifacts", "showcase.json")
+    if os.path.exists(sc_path):
+        with open(sc_path) as f:
+            sc = json.load(f)
+        a("## Qualitative showcase (held-out icons, final weights)")
+        a("")
+        a(f"![reconstructions]({os.path.join('artifacts', os.path.basename(sc['recon_png']))})")
+        a("")
+        a(f"Rows: ground truth | greedy reconstruction "
+          f"({sc['n_recon']} held-out icons).")
+        a("")
+        a(f"![interpolations]({os.path.join('artifacts', os.path.basename(sc['interp_png']))})")
+        a("")
+        a(f"Latent interpolation strips between {sc['n_pairs']} held-out "
+          "icon pairs (endpoints included). Rendered by "
+          "`scripts/trained_showcase.py`.")
+        a("")
     a("## Stability incidents")
     a("")
     a("See docs/NOTES.md 'Round 4' for the incident log (relay outages, "
