@@ -491,7 +491,10 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
                     break
 
         # drain pending background IO while the watchdog is still armed (a
-        # wedged relay mid-fetch must still trip it), then the final save
+        # wedged relay mid-fetch must still trip it), then the final save —
+        # callers see a fully-written TB/checkpoint tree when train() returns
+        if viz_fut["f"] is not None:
+            viz_fut["f"].result()
         _wait_ckpt()
         if not debug:
             save_ckpt(checkpoint_dir, state, cfg, stats, train_vars)

@@ -820,6 +820,49 @@ class TestVisualizeHook:
         assert b"reconstructions_train" in blob, \
             "visualize hook wrote no reconstruction image summaries"
 
+    def test_visualize_async_background_worker(self, tmp_path):
+        """With async_host_io (the default outside debug) the visualize hook
+        runs on a background worker over a device-side params COPY (the
+        train step donates state); train() drains the worker before
+        returning, so the TB images are complete afterwards."""
+        import dataclasses
+        import glob as _glob
+
+        from configs_tpu.default_icons import Config
+        from deepsvg_tpu.training.train import train
+
+        cfg = Config(1)
+        cfg.model_cfg = dataclasses.replace(
+            cfg.model_cfg, d_model=32, dim_feedforward=64, dim_z=16,
+            n_layers=1, n_layers_decode=1, n_heads=4, max_num_groups=3,
+            max_seq_len=6, dropout=0.0, compute_dtype="float32",
+            attention_impl="xla",
+        )
+        cfg.model_args = cfg.model_cfg.get_model_args()
+        cfg.batch_size = 8
+        cfg.num_epochs = 1
+        cfg.val_every = 2
+        cfg.log_every = 100
+        cfg.ckpt_every = 2          # also exercise the write-behind saves
+        cfg.loader_num_workers = 1
+        assert cfg.async_host_io   # default on
+
+        ds = SyntheticIconDataset(n=16, max_num_groups=3, max_seq_len=6)
+        log_dir = str(tmp_path / "logs")
+        state, _ = train(cfg, "aviz", "test", log_dir=log_dir, dataset=ds,
+                         max_steps=4)
+        assert int(state.step) == 4
+
+        events = _glob.glob(
+            os.path.join(log_dir, "tensorboard", "**", "events.*"),
+            recursive=True)
+        blob = b"".join(open(f, "rb").read() for f in events)
+        assert b"reconstructions_train" in blob, \
+            "async visualize wrote no reconstruction image summaries"
+        # write-behind checkpoints landed too (cadence + final)
+        ckpt_dir = os.path.join(log_dir, "models", "aviz", "test")
+        assert latest_ckpt(ckpt_dir) is not None
+
 
 class TestFullRunOrchestrator:
     def test_merge_segments(self):
