@@ -82,7 +82,13 @@ class Config(TrainConfig):
         # of a 26 s val stall)
         stacked = [jnp.asarray(np.stack([np.asarray(d[k]) for d in items]))
                    for k in self.model_args[:2]]
-        commands_y, args_y = greedy_sample(model, variables, *stacked)
+        kw = {}
+        if "label" in self.model_args and all("label" in d for d in items):
+            # label-conditioned models (fonts) cannot encode without their
+            # class labels — the sample items carry them via model_args
+            kw["label"] = jnp.asarray(
+                np.stack([np.asarray(d["label"]) for d in items]))
+        commands_y, args_y = greedy_sample(model, variables, *stacked, **kw)
         flat = flatten_groups_np(commands_y, args_y)
         for i, (data, (c, a)) in enumerate(zip(items, flat)):
             try:

@@ -187,9 +187,14 @@ def _ratios(acc: dict) -> dict:
 
 def reconstruct(model, variables, commands, args, label=None):
     """Encode + greedy decode one batch; returns (commands, args) aligned to
-    the ground truth's post-SOS layout ``[N, G, S+1]``."""
+    the ground truth's post-SOS layout ``[N, G, S+1]``.
+
+    VAE variants (fonts) encode to the posterior MEAN (``sample_vae=False``)
+    so the metric is deterministic — the reference always samples
+    (model/model.py:182-186) but ships no numeric eval to be deterministic
+    for."""
     z = model.apply(variables, commands, args, None, None, label=label,
-                    encode_mode=True, deterministic=True)
+                    encode_mode=True, deterministic=True, sample_vae=False)
     if z.dtype != jnp.float32:
         z = z.astype(jnp.float32)
     return greedy_sample(model, variables, z=z, label=label)

@@ -47,9 +47,15 @@ class InferenceSession:
             cfg.model_args if cfg is not None else model.cfg.get_model_args()
         )
 
+        # posterior MEAN for VAE variants: session encodes feed editing /
+        # interpolation / serving, where a stochastic z would make repeated
+        # encodes of the same icon disagree (the deterministic flagship is
+        # unaffected; greedy_sample keeps the reference's sampling semantics)
         self._encode = jax.jit(
-            lambda v, c, a: model.apply(v, c, a, None, None, encode_mode=True)
+            lambda v, c, a: model.apply(v, c, a, None, None, encode_mode=True,
+                                        sample_vae=False)
         )
+        self._encode_label = None  # built lazily on first labeled encode
         self._decode = jax.jit(
             partial(greedy_sample, model)
         )
@@ -87,7 +93,10 @@ class InferenceSession:
 
     # --- encode ----------------------------------------------------------
     def encode(self, batch: dict) -> jnp.ndarray:
-        """Packed model-args dict (unbatched or batched) -> latent ``[N, dz]``."""
+        """Packed model-args dict (unbatched or batched) -> latent ``[N, dz]``.
+
+        Label-conditioned models (fonts) read the class from ``batch
+        ["label"]`` — required, the encoder cannot run without it."""
         args = []
         for k in self.model_args[:2]:
             v = np.asarray(batch[k])
@@ -98,6 +107,21 @@ class InferenceSession:
                 v = v[None]
             self._check_tokens(k, v)
             args.append(jnp.asarray(v))
+        if "label" in self.model_args:
+            if "label" not in batch:
+                raise ValueError(
+                    "this model is label-conditioned: encode() needs "
+                    "batch['label'] (class ids)")
+            lab = np.atleast_1d(np.asarray(batch["label"]))
+            self._check_label(lab)
+            if self._encode_label is None:
+                m = self.model
+                self._encode_label = jax.jit(
+                    lambda v, c, a, l: m.apply(
+                        v, c, a, None, None, label=l, encode_mode=True,
+                        sample_vae=False))
+            return self._encode_label(self.variables, *args,
+                                      jnp.asarray(lab, jnp.int32))
         return self._encode(self.variables, *args)
 
     def encode_svg(self, svg: SVG) -> jnp.ndarray:

@@ -127,6 +127,38 @@ class TestInference:
         with pytest.raises(ValueError, match="label out of range"):
             session.decode(z, label=np.array([10**6]))
 
+    def test_label_conditioned_encode_deterministic_vae(self):
+        """Fonts-style sessions: encode() requires and consumes
+        batch['label'], and VAE encodes return the posterior MEAN — two
+        encodes of the same input agree exactly (inference.py sample_vae
+        =False; the train path keeps the reference's sampling)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from deepsvg_tpu.data.synthetic import generate_batch
+
+        cfg_m = dataclasses.replace(tiny_model_cfg(), label_condition=True,
+                                    n_labels=5, use_vae=True)
+        model = SVGTransformer(cfg_m)
+        rng = np.random.default_rng(0)
+        b = generate_batch(rng, 2, cfg_m.max_num_groups, cfg_m.max_seq_len)
+        c, a = jnp.asarray(b["commands"]), jnp.asarray(b["args"])
+        lab = jnp.asarray([1, 3], jnp.int32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+            c, a, c, a, label=lab)
+        sess = InferenceSession(model, variables)
+
+        with pytest.raises(ValueError, match="label-conditioned"):
+            sess.encode({"commands": b["commands"], "args": b["args"]})
+        batch = {"commands": b["commands"], "args": b["args"],
+                 "label": np.asarray([1, 3])}
+        z1, z2 = sess.encode(batch), sess.encode(batch)
+        assert z1.shape == (2, cfg_m.dim_z)
+        np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+
     def test_interpolation_batched(self, session):
         z1 = session.encode_icon(idx=0)
         z2 = session.encode_icon(idx=1)

@@ -820,6 +820,44 @@ class TestVisualizeHook:
         assert b"reconstructions_train" in blob, \
             "visualize hook wrote no reconstruction image summaries"
 
+    def test_visualize_label_conditioned(self, tmp_path):
+        """The visualize hook must pass class labels through to the encoder
+        for label-conditioned (fonts) models — encoding without them fails
+        (configs_tpu/default_icons.py visualize kw['label'])."""
+        import dataclasses
+        import glob as _glob
+
+        from configs_tpu.hierarchical_ordered_fonts import Config
+        from deepsvg_tpu.training.train import train
+
+        cfg = Config(1)
+        cfg.model_cfg = dataclasses.replace(
+            cfg.model_cfg, d_model=32, dim_feedforward=64, dim_z=16,
+            n_layers=1, n_layers_decode=1, n_heads=4, max_num_groups=3,
+            max_seq_len=6, dropout=0.0, compute_dtype="float32",
+            attention_impl="xla", n_labels=5,
+        )
+        cfg.model_args = cfg.model_cfg.get_model_args()
+        assert "label" in cfg.model_args
+        cfg.batch_size = 8
+        cfg.num_epochs = 1
+        cfg.val_every = 2
+        cfg.log_every = 100
+        cfg.ckpt_every = 100
+        cfg.loader_num_workers = 1
+
+        ds = SyntheticIconDataset(n=16, max_num_groups=3, max_seq_len=6,
+                                  label_range=5)
+        log_dir = str(tmp_path / "logs")
+        train(cfg, "fviz", "test", log_dir=log_dir, dataset=ds, max_steps=2)
+
+        events = _glob.glob(
+            os.path.join(log_dir, "tensorboard", "**", "events.*"),
+            recursive=True)
+        blob = b"".join(open(f, "rb").read() for f in events)
+        assert b"reconstructions_train" in blob, \
+            "label-conditioned visualize wrote no reconstruction summaries"
+
     def test_visualize_async_background_worker(self, tmp_path):
         """With async_host_io (the default outside debug) the visualize hook
         runs on a background worker over a device-side params COPY (the
