@@ -242,8 +242,14 @@ class EncoderLayerImproved(_TransformerLayerBase):
         key_pad: Optional[jnp.ndarray] = None,
         label_emb: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        collect_params: bool = False,
     ) -> jnp.ndarray:
         p = self._params()
+        if collect_params:
+            # stack-fused path (EncoderStack): declare this layer's params
+            # (same tree as every other path) and hand them to the caller —
+            # the L-layer computation runs as ONE kernel there
+            return p
         b, s, _ = src.shape
 
         if self.attn_impl == "pallas" and deterministic:
@@ -308,12 +314,16 @@ class DecoderLayerGlobalImproved(_TransformerLayerBase):
         deterministic: bool = True,
         decode_index=None,
         decode_len: Optional[int] = None,
+        collect_params: bool = False,
     ) -> jnp.ndarray:
         p = self._params()
         dz = self.dim_z if self.dim_z is not None else z.shape[-1]
         init = nn.initializers.lecun_normal()
         wg = self.param("glob_kernel", init, (dz, self.d_model), jnp.float32).astype(self.dtype)
         bg = self.param("glob_bias", nn.initializers.zeros, (self.d_model,), jnp.float32).astype(self.dtype)
+        if collect_params:
+            # stack-fused path (DecoderStack): params only, same tree
+            return {**p, "glob_kernel": wg, "glob_bias": bg}
 
         z2 = z[:, 0, :] if z.ndim == 3 else z
         b, s, _ = tgt.shape
@@ -368,6 +378,70 @@ class DecoderLayerGlobalImproved(_TransformerLayerBase):
         return tgt + drop(self._ffn_xla(tgt, deterministic, p))
 
 
+# kill-switch for the stack-fused training path (ops/stack_vjp.py):
+# interpret mode validates semantics but not Mosaic lowerability
+# (docs/NOTES.md gotchas) — tests/experiments can flip this off to A/B
+# against the per-layer kernels
+STACK_FUSED_ENABLED = True
+
+
+def _use_stack_fused(attn_impl, deterministic, n_layers, b, s):
+    """Stack-fused training path gate: the short-sequence hierarchical
+    stages only (rows small enough for the whole batch to live in VMEM;
+    per-layer kernels stay optimal for the 32-token stages — their fixed
+    cost is amortized there, docs/sol_table.json)."""
+    s_pad = -(-s // 8) * 8
+    return (STACK_FUSED_ENABLED
+            and attn_impl == "pallas" and not deterministic and n_layers > 1
+            and s_pad <= 16 and b * s_pad <= 2048)
+
+
+def _stacked_train(module, ps, x, seq_biases, key_pad, causal):
+    """Run an L-layer stack as ONE fused kernel pair (ops/stack_vjp.py).
+
+    ``ps``: per-layer param dicts (collect_params=True); ``seq_biases``:
+    ``[L, B, D]`` pre-dropout-applied per-sequence injections or None.
+    Dropout seeding mirrors _TransformerLayerBase._fused_train_layer."""
+    from ..ops.stack_vjp import fused_stack_train
+
+    b, s, d = x.shape
+    mask = (key_pad.astype(jnp.float32) if key_pad is not None
+            else jnp.zeros((b, s), jnp.float32))
+    x, mask, s_orig = _pad_seq_for_kernel(x, mask)
+    s = x.shape[1]
+    L = len(ps)
+    if seq_biases is None:
+        seq_biases = jnp.zeros((L, b, d), x.dtype)
+    if module.dropout > 0.0 and module.has_rng("dropout"):
+        seed = jax.random.randint(
+            module.make_rng("dropout"), (1,), 0, 2**30, jnp.int32)
+        rate = module.dropout
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+        rate = 0.0
+    stk = lambda k: jnp.stack([p[k] for p in ps])          # noqa: E731
+    row = lambda k: jnp.stack([p[k] for p in ps])[:, None, :]  # noqa: E731
+    out = fused_stack_train(
+        x, seq_biases.astype(x.dtype), stk("norm1"), stk("wqkv"),
+        row("bqkv"), stk("wo"), row("bo"), stk("norm2"), stk("ff1_kernel"),
+        row("ff1_bias"), stk("ff2_kernel"), row("ff2_bias"), mask, seed,
+        module.n_heads, causal, rate)
+    return out[:, :s_orig, :]
+
+
+def _label_biases(module, ps, label_emb):
+    """Per-layer label-conditioning injections ``[L, B, D]``, dropout
+    applied (one draw over the stacked tensor = independent per-layer
+    masks, matching the per-layer modules distributionally)."""
+    if not (module.use_label and label_emb is not None):
+        return None
+    le = label_emb[:, 0, :] if label_emb.ndim == 3 else label_emb
+    bias = (jnp.einsum("bd,ldm->lbm", le, jnp.stack(
+        [p["glob2_kernel"] for p in ps]))
+        + jnp.stack([p["glob2_bias"] for p in ps])[:, None, :])
+    return nn.Dropout(module.dropout, deterministic=False)(bias)
+
+
 class EncoderStack(nn.Module):
     """N encoder layers + final LayerNorm (reference TransformerEncoder,
     layers/transformer.py with norm)."""
@@ -383,11 +457,24 @@ class EncoderStack(nn.Module):
 
     @nn.compact
     def __call__(self, src, key_pad=None, label_emb=None, deterministic=True):
-        for i in range(self.n_layers):
-            src = EncoderLayerImproved(
+        layers = [
+            EncoderLayerImproved(
                 self.d_model, self.n_heads, self.dim_feedforward, self.dropout,
                 self.use_label, self.dtype, self.attn_impl, name=f"layer_{i}",
-            )(src, key_pad=key_pad, label_emb=label_emb, deterministic=deterministic)
+            )
+            for i in range(self.n_layers)
+        ]
+        b, s, _ = src.shape
+        if _use_stack_fused(self.attn_impl, deterministic, self.n_layers,
+                            b, s):
+            ps = [lay(None, collect_params=True) for lay in layers]
+            src = _stacked_train(self, ps, src,
+                                 _label_biases(self, ps, label_emb),
+                                 key_pad, False)
+        else:
+            for lay in layers:
+                src = lay(src, key_pad=key_pad, label_emb=label_emb,
+                          deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(src)
 
 
@@ -406,13 +493,35 @@ class DecoderStack(nn.Module):
     @nn.compact
     def __call__(self, tgt, z, key_pad=None, causal=False, label_emb=None,
                  deterministic=True, decode_index=None, decode_len=None):
-        for i in range(self.n_layers):
-            tgt = DecoderLayerGlobalImproved(
+        layers = [
+            DecoderLayerGlobalImproved(
                 self.d_model, self.n_heads, self.dim_feedforward, self.dropout,
                 self.use_label, self.dtype, self.attn_impl, name=f"layer_{i}",
-            )(tgt, z, key_pad=key_pad, causal=causal, label_emb=label_emb,
-              deterministic=deterministic, decode_index=decode_index,
-              decode_len=decode_len)
+            )
+            for i in range(self.n_layers)
+        ]
+        b, s, _ = tgt.shape
+        if (decode_index is None
+                and _use_stack_fused(self.attn_impl, deterministic,
+                                     self.n_layers, b, s)):
+            ps = [lay(None, z, collect_params=True) for lay in layers]
+            z2 = z[:, 0, :] if z.ndim == 3 else z
+            # per-layer latent injections [L, B, D], dropout applied (one
+            # draw across the stack = independent per-layer masks)
+            biases = (jnp.einsum(
+                "bd,ldm->lbm", z2.astype(self.dtype),
+                jnp.stack([p["glob_kernel"] for p in ps]))
+                + jnp.stack([p["glob_bias"] for p in ps])[:, None, :])
+            biases = nn.Dropout(self.dropout, deterministic=False)(biases)
+            lb = _label_biases(self, ps, label_emb)
+            if lb is not None:
+                biases = biases + lb
+            tgt = _stacked_train(self, ps, tgt, biases, key_pad, causal)
+        else:
+            for lay in layers:
+                tgt = lay(tgt, z, key_pad=key_pad, causal=causal,
+                          label_emb=label_emb, deterministic=deterministic,
+                          decode_index=decode_index, decode_len=decode_len)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(tgt)
 
 
