@@ -130,6 +130,11 @@ def main():
       "in the row below) |")
     if wall_out:
         a(f"| final-instance wall incl. outages | {wall_out/3600:.2f} h |")
+    if run.get("wall_clock_first_to_last_s"):
+        a(f"| first step to last artifact (wall clock, "
+          f"{run.get('orchestrator_instances', 1)} orchestrator instance(s) "
+          "across relay outages) | "
+          f"{run['wall_clock_first_to_last_s']/3600:.2f} h |")
     a(f"| sustained step time | {run['step_s_sustained']*1e3:.2f} ms |")
     a(f"| sustained throughput | **{run['samples_per_s_sustained']:,.0f} "
       "samples/s/chip** |")
