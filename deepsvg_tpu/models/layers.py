@@ -391,9 +391,12 @@ def _use_stack_fused(attn_impl, deterministic, n_layers, b, s):
     per-layer kernels stay optimal for the 32-token stages — their fixed
     cost is amortized there, docs/sol_table.json)."""
     s_pad = -(-s // 8) * 8
+    # rows cap 512: the stack BACKWARD's f32 temps at 1024 rows measured
+    # 25 MB of scoped VMEM vs the ~16 MB/core limit (on-chip Mosaic OOM,
+    # scripts/exp_stack_ab.py) — B=60 recipe shapes (480 rows) fit
     return (STACK_FUSED_ENABLED
             and attn_impl == "pallas" and not deterministic and n_layers > 1
-            and s_pad <= 16 and b * s_pad <= 2048)
+            and s_pad <= 16 and b * s_pad <= 512)
 
 
 def _stacked_train(module, ps, x, seq_biases, key_pad, causal):
