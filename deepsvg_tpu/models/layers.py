@@ -408,6 +408,13 @@ def _stacked_train(module, ps, x, seq_biases, key_pad, causal):
     from ..ops.stack_vjp import fused_stack_train
 
     b, s, d = x.shape
+    # run the stack in the module's COMPUTE dtype: the stage-2 input arrives
+    # f32 (the masked-mean pool upcasts), and an f32 stack backward at B=60
+    # overflows the ~16 MB scoped VMEM by ~0.9 MB on chip (exp_stack_model_ab)
+    # — bf16 activations halve every buffer and are the tpu_fast intent
+    # (LN/softmax/accumulation stay f32 inside the kernels either way)
+    in_dtype = x.dtype
+    x = x.astype(module.dtype)
     mask = (key_pad.astype(jnp.float32) if key_pad is not None
             else jnp.zeros((b, s), jnp.float32))
     x, mask, s_orig = _pad_seq_for_kernel(x, mask)
@@ -429,7 +436,7 @@ def _stacked_train(module, ps, x, seq_biases, key_pad, causal):
         row("bqkv"), stk("wo"), row("bo"), stk("norm2"), stk("ff1_kernel"),
         row("ff1_bias"), stk("ff2_kernel"), row("ff2_bias"), mask, seed,
         module.n_heads, causal, rate)
-    return out[:, :s_orig, :]
+    return out[:, :s_orig, :].astype(in_dtype)
 
 
 def _label_biases(module, ps, label_emb):
