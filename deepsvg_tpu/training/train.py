@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
 from datetime import datetime
 
@@ -329,9 +330,20 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
                                       thread_name_prefix="log")
         _copy_tree = jax.jit(
             lambda p: jax.tree_util.tree_map(lambda x: x.copy(), p))
-        # compile the copy now, in setup where slow remote compiles are
-        # expected — not as a surprise stall at the first val cycle
+        # compile the copy AND the checkpoint packer now, in setup where
+        # slow remote compiles are expected — not as surprise stalls at the
+        # first val/ckpt cadence (the packer's first-use compile on the
+        # critical path measured ~17 s per early save, r5 stamped segment)
         jax.tree_util.tree_map(lambda x: None, _copy_tree(state.params))
+        from .checkpoint import _snapshot_dispatch
+
+        _snapshot_dispatch(state)
+        # tighten the GIL handoff: background render/fetch threads hold the
+        # GIL up to a full switch interval (default 5 ms) every time the
+        # dispatch thread wakes from a relay RPC — at one dispatch per K
+        # steps that is real ms/step on this 1-core host
+        _old_switch = sys.getswitchinterval()
+        sys.setswitchinterval(0.001)
 
     def _wait_ckpt():
         f, ckpt_fut["f"] = ckpt_fut["f"], None
@@ -359,9 +371,12 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
 
     def _viz_cycle(params_copy, step, epoch):
         _deprioritize()
+        t0 = time.time()
         try:
             cfg.visualize(model, {"params": params_copy}, train_vars, step,
                           epoch, summary_writer, visualization_dir)
+            print(f"[visualize] step {step}: background cycle "
+                  f"{time.time() - t0:.1f}s", flush=True)
         except Exception as e:  # never kill training over a render
             print(f"[visualize] background cycle failed at step {step}: "
                   f"{e!r}", flush=True)
@@ -517,7 +532,7 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
                             # begin_save serializes — drain it first
                             log_fut["f"].result()
                         ctx = begin_save(checkpoint_dir, state, cfg, stats,
-                                         train_vars)
+                                         train_vars, step=step)
                         ckpt_fut["f"] = ckpt_pool.submit(_ckpt_cycle, ctx)
                     else:
                         save_ckpt(checkpoint_dir, state, cfg, stats,
@@ -545,6 +560,8 @@ def train(cfg: TrainConfig, model_name: str, experiment_name: str = "",
         # release the watchdog thread: without this it outlives the run
         # and hard-kills the process stall_watchdog_s later (ADVICE r4).
         beat["done"] = True
+        if async_io:
+            sys.setswitchinterval(_old_switch)
         if viz_pool is not None:
             # non-daemon workers: an in-flight render finishes before the
             # interpreter exits; nothing new can be submitted after this
