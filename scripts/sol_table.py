@@ -307,7 +307,10 @@ def main():
          "vpu_ms": n_params * 30 / PEAK_VPU * 1e3,
          "floor_ms": max(n_params * 4 * 8 / PEAK_HBM,
                          n_params * 30 / PEAK_VPU) * 1e3},
-        f"{n_params/1e6:.1f}M params, pure bandwidth")
+        f"{n_params/1e6:.1f}M params, pure bandwidth; isolated bench "
+        "INVALID (times below its own HBM floor: fixed grads hoist the "
+        "clip norm) — in situ the phase costs ~2.2 ms, see "
+        "docs/glue_decomp.json")
 
     covered = sum(r["measured_ms"] for r in rows)
     print("-" * 86)
