@@ -260,8 +260,13 @@ class EncoderLayerImproved(_TransformerLayerBase):
                 key_pad.astype(jnp.float32)
                 if key_pad is not None else jnp.zeros((b, s), jnp.float32)
             )
-            src, mask, s_orig = _pad_seq_for_kernel(src, mask)
-            s = src.shape[1]
+            # no seq padding here: the inference kernel's blocks span the
+            # full S (trailing dims == array dims, always lowerable), and
+            # the alignment pad that wins 13% on the TRAIN kernels costs
+            # 2.8% end-to-end at inference (r5 bisect of the r2->r3
+            # regression: 24,114 -> 23,450 samples/s at commit ac76eb2,
+            # re-benched same-day; pad rows are pure overhead when there is
+            # no backward to relayout)
             seq_bias = None
             if self.use_label and label_emb is not None:
                 le = label_emb[:, 0, :] if label_emb.ndim == 3 else label_emb
@@ -275,7 +280,7 @@ class EncoderLayerImproved(_TransformerLayerBase):
                 # interpret mode keeps small tiles (compile/run time)
                 tile_b=pick_tile_b(b, s, target_rows=_tile_target()),
                 seq_bias=seq_bias,
-            )[:, :s_orig, :]
+            )
 
         if self.attn_impl == "pallas":  # fused train path (not deterministic)
             seq_bias = None
@@ -344,8 +349,9 @@ class DecoderLayerGlobalImproved(_TransformerLayerBase):
                 key_pad.astype(jnp.float32)
                 if key_pad is not None else jnp.zeros((b, s), jnp.float32)
             )
-            tgt, mask, s_orig = _pad_seq_for_kernel(tgt, mask)
-            s = tgt.shape[1]
+            # unpadded on purpose — see the encoder branch: at inference the
+            # S=31 one-shot decode runs 2.8% faster without alignment-pad
+            # rows (r5 bisect), and the kernel lowers at any S
             extra_bias = None
             if self.use_label and label_emb is not None:
                 le = label_emb[:, 0, :] if label_emb.ndim == 3 else label_emb
@@ -356,7 +362,7 @@ class DecoderLayerGlobalImproved(_TransformerLayerBase):
                 p["ff2_kernel"], p["ff2_bias"], mask, n_heads=self.n_heads,
                 tile_b=pick_tile_b(b, s, target_rows=_tile_target()),
                 causal=causal, extra_bias=extra_bias,
-            )[:, :s_orig, :]
+            )
 
         if self.attn_impl == "pallas":  # fused train path (not deterministic)
             seq_bias = nn.Dropout(self.dropout, deterministic=False)(z2 @ wg + bg)
